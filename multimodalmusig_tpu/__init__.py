@@ -1,0 +1,49 @@
+"""multimodalmusig_tpu — TPU-native multi-modal mutation-signature topic models.
+
+A from-scratch JAX/XLA/Pallas re-architecture of the capabilities of
+shahcompbio/MultiModalMuSig.jl (reference mounted at /root/reference): four
+Bayesian topic models (LDA, ILDA, MMCTM, IMMCTM) fit by coordinate-ascent
+variational inference, with the reference's public surface
+(src/MultiModalMuSig.jl:9 exports) plus TPU-first extensions (vmapped
+multi-restart fitting, device-mesh sharding, jitted fit loops).
+"""
+
+from .models.lda import LDA, fit_heldout as lda_fit_heldout, transform as lda_transform
+from .utils.formatting import (
+    format_counts_ctm,
+    format_counts_lda,
+    format_counts_mmctm,
+    make_count_matrix,
+)
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "LDA",
+    "format_counts_lda",
+    "format_counts_ctm",
+    "format_counts_mmctm",
+    "make_count_matrix",
+    "transform",
+    "fit_heldout",
+]
+
+# Generic dispatch mirroring Julia's multiple dispatch on fit!/transform/...
+_TRANSFORM_DISPATCH = {LDA: lda_transform}
+_FIT_HELDOUT_DISPATCH = {LDA: lda_fit_heldout}
+
+
+def transform(model, X, **kwargs):
+    """Dispatch to the model-specific transform (reference: `transform` methods)."""
+    for cls, fn in _TRANSFORM_DISPATCH.items():
+        if isinstance(model, cls):
+            return fn(model, X, **kwargs)
+    raise TypeError(f"no transform for {type(model)!r}")
+
+
+def fit_heldout(Xheldout, model, **kwargs):
+    """Dispatch to the model-specific fit_heldout (reference: `fit_heldout`)."""
+    for cls, fn in _FIT_HELDOUT_DISPATCH.items():
+        if isinstance(model, cls):
+            return fn(Xheldout, model, **kwargs)
+    raise TypeError(f"no fit_heldout for {type(model)!r}")

@@ -1,0 +1,265 @@
+"""Batched bound-constrained maximizers replacing the reference's NLopt dependency.
+
+The reference calls the NLopt C library's LD_MMA algorithm once per document
+per CAVI iteration for the logistic-normal variational parameters λ and ν
+(reference: src/MMCTM.jl:127-143, 156-170; objectives in src/common.jl:11-36)
+and once per modality for the Dirichlet hyperparameter α
+(src/MMCTM.jl:252-269; objective src/common.jl:38-46). That per-document
+C-library round-trip is the dominant cost of the reference and is
+fundamentally serial.
+
+Here each solve is a fixed-iteration damped Newton ascent, written so that
+
+  * every step is branch-free (candidate-step line search via argmax instead
+    of data-dependent halving loops) -> vmap/jit/TPU friendly;
+  * λ solves batch over documents as one (D, MK, MK) Cholesky solve feeding
+    the MXU;
+  * ν solves exploit that the ν-objective is *fully separable per coordinate*
+    (src/common.jl:25-36 is a sum of per-coordinate terms), so the "MK-dim
+    optimization" collapses to elementwise scalar Newton over a (D, MK) grid;
+  * the ν >= 1e-7 bound (src/MMCTM.jl:158 `lower_bounds!(opt, 1e-7)`) is a
+    clip, not a constraint.
+
+All objectives here are concave on the feasible region, so monotone damped
+Newton converges globally; the candidate line search guarantees monotone
+ascent (a candidate step of 0 is always included).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.scipy.special import digamma, gammaln, polygamma
+
+__all__ = [
+    "lambda_objective",
+    "lambda_grad",
+    "maximize_lambda",
+    "nu_objective",
+    "nu_grad",
+    "maximize_nu",
+    "alpha_objective",
+    "alpha_grad",
+    "maximize_alpha",
+    "NU_LOWER_BOUND",
+    "ALPHA_LOWER_BOUND",
+]
+
+# reference: src/MMCTM.jl:158 and src/MMCTM.jl:254
+NU_LOWER_BOUND = 1e-7
+ALPHA_LOWER_BOUND = 1e-7
+
+# Line-search candidates: over-steps 8,4,2 (exp-dominated far field, where a
+# pure Newton step only moves O(1) per iteration), Newton step 1, backtracks
+# 1/2..2^-12, and 0 (reject). argmax over candidates keeps ascent monotone.
+_N_BACKTRACK = 13
+
+
+def _step_scales(dtype):
+    over = jnp.asarray([8.0, 4.0, 2.0], dtype=dtype)
+    scales = 2.0 ** -jnp.arange(_N_BACKTRACK, dtype=dtype)
+    return jnp.concatenate([over, scales, jnp.zeros((1,), dtype=dtype)])
+
+
+# Number of trailing pure-Newton polish iterations appended to every solve.
+# Near the optimum the objective improvement per step falls below float
+# resolution, so value-based line search can no longer pick the Newton step;
+# unconditional Newton steps (safe in the concave basin the line-searched
+# phase has reached) polish the gradient to machine precision.
+_N_POLISH = 4
+
+
+# ---------------------------------------------------------------------------
+# λ objective (reference: src/common.jl:11-23)
+# ---------------------------------------------------------------------------
+
+
+def lambda_objective(lam, nu, Ndivzeta, sumtheta, mu, invSigma):
+    """-½(λ-μ)ᵀΣ⁻¹(λ-μ) + λ·sumθ - Σ Ndivζ·exp(λ+ν/2). Single document."""
+    diff = lam - mu
+    Eeta = jnp.exp(lam + 0.5 * nu)
+    quad = -0.5 * diff @ (invSigma @ diff)
+    return quad + jnp.sum(lam * sumtheta) - jnp.sum(Ndivzeta * Eeta)
+
+
+def lambda_grad(lam, nu, Ndivzeta, sumtheta, mu, invSigma):
+    """∇λ = -Σ⁻¹(λ-μ) + sumθ - Ndivζ·exp(λ+ν/2). Single document."""
+    Eeta = jnp.exp(lam + 0.5 * nu)
+    return -(invSigma @ (lam - mu)) + sumtheta - Ndivzeta * Eeta
+
+
+def _maximize_lambda_one(lam0, nu, Ndivzeta, sumtheta, mu, invSigma, n_iter):
+    """Damped Newton ascent on the λ-objective for one document.
+
+    Hessian = -(Σ⁻¹ + diag(Ndivζ·exp(λ+ν/2))) is negative definite, so the
+    Newton direction is always an ascent direction; the candidate-step argmax
+    keeps the iteration monotone even far from the optimum (replacing the
+    conservative MMA outer approximation of NLopt, src/MMCTM.jl:128).
+    """
+    eye = jnp.eye(lam0.shape[0], dtype=lam0.dtype)
+
+    def make_body(scales):
+        def body(_, lam):
+            g = lambda_grad(lam, nu, Ndivzeta, sumtheta, mu, invSigma)
+            w = Ndivzeta * jnp.exp(lam + 0.5 * nu)
+            # Solve (Σ⁻¹ + diag(w)) δ = g; tiny ridge keeps Cholesky robust.
+            H = invSigma + w[:, None] * eye + 1e-12 * eye
+            chol = jax.scipy.linalg.cho_factor(H)
+            delta = jax.scipy.linalg.cho_solve(chol, g)
+            candidates = lam[None, :] + scales[:, None] * delta[None, :]
+            fvals = jax.vmap(
+                lambda c: lambda_objective(c, nu, Ndivzeta, sumtheta, mu, invSigma)
+            )(candidates)
+            fvals = jnp.where(jnp.isfinite(fvals), fvals, -jnp.inf)
+            return candidates[jnp.argmax(fvals)]
+
+        return body
+
+    def polish(_, lam):
+        g = lambda_grad(lam, nu, Ndivzeta, sumtheta, mu, invSigma)
+        w = Ndivzeta * jnp.exp(lam + 0.5 * nu)
+        H = invSigma + w[:, None] * eye + 1e-12 * eye
+        chol = jax.scipy.linalg.cho_factor(H)
+        step = lam + jax.scipy.linalg.cho_solve(chol, g)
+        return jnp.where(jnp.all(jnp.isfinite(step)), step, lam)
+
+    lam = jax.lax.fori_loop(0, n_iter, make_body(_step_scales(lam0.dtype)), lam0)
+    return jax.lax.fori_loop(0, _N_POLISH, polish, lam)
+
+
+@partial(jax.jit, static_argnames=("n_iter",))
+def maximize_lambda(lam0, nu, Ndivzeta, sumtheta, mu, invSigma, n_iter: int = 20):
+    """Batched λ solve: lam0/nu/Ndivzeta/sumtheta are (D, MK); μ, Σ⁻¹ shared.
+
+    Replaces the per-document NLopt loop at src/MMCTM.jl:127-143 /
+    src/IMMCTM.jl:103-121 with one vmapped program over all documents.
+    """
+    return jax.vmap(
+        lambda l, n, nz, st: _maximize_lambda_one(l, n, nz, st, mu, invSigma, n_iter)
+    )(lam0, nu, Ndivzeta, sumtheta)
+
+
+# ---------------------------------------------------------------------------
+# ν objective (reference: src/common.jl:25-36) — separable per coordinate
+# ---------------------------------------------------------------------------
+
+
+def nu_objective(nu, lam, Ndivzeta, invSigma_diag):
+    """-½Σνᵢ·Σ⁻¹ᵢᵢ - Σ Ndivζ·exp(λ+ν/2) + ½Σ log ν.  Single document (sum).
+
+    `invSigma_diag` is diag(Σ⁻¹); the trace term of src/common.jl:34 only
+    touches the diagonal, which is what makes the problem separable.
+    """
+    return jnp.sum(nu_objective_terms(nu, lam, Ndivzeta, invSigma_diag))
+
+
+def nu_objective_terms(nu, lam, Ndivzeta, invSigma_diag):
+    """Per-coordinate contributions to the ν objective (before summation)."""
+    Eeta = jnp.exp(lam + 0.5 * nu)
+    return -0.5 * nu * invSigma_diag - Ndivzeta * Eeta + 0.5 * jnp.log(nu)
+
+
+def nu_grad(nu, lam, Ndivzeta, invSigma_diag):
+    """∂/∂νᵢ = -½Σ⁻¹ᵢᵢ - (Ndivζᵢ/2)·exp(λᵢ+νᵢ/2) + 1/(2νᵢ)."""
+    Eeta = jnp.exp(lam + 0.5 * nu)
+    return -0.5 * invSigma_diag - 0.5 * Ndivzeta * Eeta + 0.5 / nu
+
+
+@partial(jax.jit, static_argnames=("n_iter",))
+def maximize_nu(nu0, lam, Ndivzeta, invSigma_diag, n_iter: int = 25):
+    """Elementwise Newton on the separable ν-objective; any batch shape.
+
+    All arguments broadcast elementwise ((D, MK) in MMCTM). Replaces the
+    MK-dimensional NLopt solve at src/MMCTM.jl:156-170 with scalar Newton
+    per coordinate — mathematically identical optimum, massively parallel.
+    """
+    def make_body(scales):
+        def body(_, nu):
+            g = nu_grad(nu, lam, Ndivzeta, invSigma_diag)
+            Eeta = jnp.exp(lam + 0.5 * nu)
+            hess = -0.25 * Ndivzeta * Eeta - 0.5 / (nu * nu)  # always < 0
+            delta = -g / hess
+            # Candidate steps per coordinate, clipped to the ν >= 1e-7 bound.
+            cand = jnp.clip(
+                nu[None] + scales.reshape((-1,) + (1,) * nu.ndim) * delta[None],
+                NU_LOWER_BOUND,
+            )
+            fvals = nu_objective_terms(cand, lam[None], Ndivzeta[None], invSigma_diag[None])
+            fvals = jnp.where(jnp.isfinite(fvals), fvals, -jnp.inf)
+            best = jnp.argmax(fvals, axis=0)
+            return jnp.take_along_axis(cand, best[None], axis=0)[0]
+
+        return body
+
+    def polish(_, nu):
+        g = nu_grad(nu, lam, Ndivzeta, invSigma_diag)
+        Eeta = jnp.exp(lam + 0.5 * nu)
+        hess = -0.25 * Ndivzeta * Eeta - 0.5 / (nu * nu)
+        step = jnp.clip(nu - g / hess, NU_LOWER_BOUND)
+        return jnp.where(jnp.isfinite(step), step, nu)
+
+    nu = jax.lax.fori_loop(0, n_iter, make_body(_step_scales(nu0.dtype)), nu0)
+    return jax.lax.fori_loop(0, _N_POLISH, polish, nu)
+
+
+# ---------------------------------------------------------------------------
+# α objective (reference: src/common.jl:38-46) — scalar symmetric-Dirichlet MLE
+# ---------------------------------------------------------------------------
+
+
+def alpha_objective(alpha, sum_Elnphi, K, V):
+    """K·(lgamma(Vα) - V·lgamma(α)) + α·ΣElnϕ (src/common.jl:38-46)."""
+    return K * (gammaln(V * alpha) - V * gammaln(alpha)) + alpha * sum_Elnphi
+
+
+def alpha_grad(alpha, sum_Elnphi, K, V):
+    """K·V·(digamma(Vα) - digamma(α)) + ΣElnϕ."""
+    return K * V * (digamma(V * alpha) - digamma(alpha)) + sum_Elnphi
+
+
+@partial(jax.jit, static_argnames=("n_iter",))
+def maximize_alpha(alpha0, sum_Elnphi, K, V, n_iter: int = 30):
+    """Scalar Newton for the symmetric Dirichlet hyperparameter MLE.
+
+    Replaces the 1-dim NLopt solve of src/MMCTM.jl:252-269 /
+    src/IMMCTM.jl:225-244. Newton runs on log α so the α >= 1e-7 bound
+    (src/MMCTM.jl:254) is preserved by construction; a final clip guards
+    against underflow.
+    """
+    def f_log(u):
+        return alpha_objective(jnp.exp(u), sum_Elnphi, K, V)
+
+    def make_body(scales):
+        def body(_, u):
+            a = jnp.exp(u)
+            g_a = alpha_grad(a, sum_Elnphi, K, V)
+            # d²/dα² = K·V²·ψ₁(Vα) - K·V·ψ₁(α)
+            h_a = K * V * V * polygamma(1, V * a) - K * V * polygamma(1, a)
+            g_u = g_a * a
+            h_u = h_a * a * a + g_a * a
+            # Fall back to a (scaled) gradient step when the log-space Hessian
+            # is not negative (α-objective is concave in α, not always in log α).
+            delta = jnp.where(h_u < 0, -g_u / h_u, jnp.sign(g_u))
+            cand = u + scales * delta
+            fvals = jax.vmap(f_log)(cand)
+            fvals = jnp.where(jnp.isfinite(fvals), fvals, -jnp.inf)
+            return cand[jnp.argmax(fvals)]
+
+        return body
+
+    def polish(_, u):
+        a = jnp.exp(u)
+        g_a = alpha_grad(a, sum_Elnphi, K, V)
+        h_a = K * V * V * polygamma(1, V * a) - K * V * polygamma(1, a)
+        # Newton directly in α-space (concave there), mapped back to u.
+        step_a = jnp.clip(a - g_a / h_a, ALPHA_LOWER_BOUND)
+        step = jnp.where(h_a < 0, jnp.log(step_a), u)
+        return jnp.where(jnp.isfinite(step), step, u)
+
+    dtype = jnp.asarray(alpha0).dtype
+    u0 = jnp.log(jnp.clip(jnp.asarray(alpha0), ALPHA_LOWER_BOUND))
+    u = jax.lax.fori_loop(0, n_iter, make_body(_step_scales(dtype)), u0)
+    u = jax.lax.fori_loop(0, _N_POLISH, polish, u)
+    return jnp.clip(jnp.exp(u), ALPHA_LOWER_BOUND)

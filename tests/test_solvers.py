@@ -1,0 +1,214 @@
+"""Tests for the batched Newton solvers replacing NLopt LD_MMA.
+
+Objective/gradient values are checked against independently re-derived
+formulas, porting the reference's hand-expanded fixtures
+(test/common.jl:35-97 for λ; test/mmctm.jl ν/α fixtures), and the
+maximizers are checked to (a) ascend, (b) zero the gradient, (c) agree
+with scipy reference optimizers.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import scipy.optimize
+from scipy.special import digamma as sp_digamma, gammaln as sp_gammaln
+
+from multimodalmusig_tpu.ops import solvers
+
+jax.config.update("jax_enable_x64", True)
+
+
+# --- fixture from test/common.jl:35-66: K=[2,3], doc 1 of the tiny corpus ---
+MU = np.array([1.0, 1.0, 2.0, 2.0, 1.0])
+INV_SIGMA = np.eye(5)
+LAM = np.array([1.0, 2.0, 3.0, 4.0, 1.0])
+NU = np.array([1.0, 1.0, 1.0, 2.0, 1.0])
+ZETA = np.array([2.0, 1.0])
+THETA = [np.array([[0.4, 0.1], [0.6, 0.9]]), np.array([[0.3, 0.4], [0.3, 0.5], [0.4, 0.1]])]
+COUNTS = [np.array([5.0, 8.0]), np.array([2.0, 5.0])]  # X[1][m][:, 2]
+N = np.array([13.0, 7.0])
+
+
+def _fixture_sumtheta():
+    return np.concatenate([(THETA[m] * COUNTS[m][None, :]).sum(axis=1) for m in range(2)])
+
+
+def _fixture_Ndivzeta():
+    return np.concatenate([np.full(k, N[m] / ZETA[m]) for m, k in enumerate([2, 3])])
+
+
+def _expected_lambda_obj(lam):
+    diff = lam - MU
+    Eeta = np.exp(lam + 0.5 * NU)
+    return (
+        -0.5 * diff @ INV_SIGMA @ diff
+        + np.sum(lam * _fixture_sumtheta())
+        - np.sum(_fixture_Ndivzeta() * Eeta)
+    )
+
+
+def _expected_lambda_grad(lam):
+    Eeta = np.exp(lam + 0.5 * NU)
+    return -INV_SIGMA @ (lam - MU) + _fixture_sumtheta() - _fixture_Ndivzeta() * Eeta
+
+
+class TestLambdaObjective:
+    def test_value(self):
+        got = float(
+            solvers.lambda_objective(
+                jnp.asarray(LAM), jnp.asarray(NU), jnp.asarray(_fixture_Ndivzeta()),
+                jnp.asarray(_fixture_sumtheta()), jnp.asarray(MU), jnp.asarray(INV_SIGMA),
+            )
+        )
+        np.testing.assert_allclose(got, _expected_lambda_obj(LAM), rtol=1e-12)
+
+    def test_grad(self):
+        got = np.asarray(
+            solvers.lambda_grad(
+                jnp.asarray(LAM), jnp.asarray(NU), jnp.asarray(_fixture_Ndivzeta()),
+                jnp.asarray(_fixture_sumtheta()), jnp.asarray(MU), jnp.asarray(INV_SIGMA),
+            )
+        )
+        np.testing.assert_allclose(got, _expected_lambda_grad(LAM), rtol=1e-12)
+
+    def test_grad_matches_autodiff(self):
+        auto = jax.grad(solvers.lambda_objective)(
+            jnp.asarray(LAM), jnp.asarray(NU), jnp.asarray(_fixture_Ndivzeta()),
+            jnp.asarray(_fixture_sumtheta()), jnp.asarray(MU), jnp.asarray(INV_SIGMA),
+        )
+        np.testing.assert_allclose(np.asarray(auto), _expected_lambda_grad(LAM), rtol=1e-10)
+
+
+class TestMaximizeLambda:
+    def _solve(self, lam0):
+        return solvers.maximize_lambda(
+            jnp.asarray(lam0)[None], jnp.asarray(NU)[None],
+            jnp.asarray(_fixture_Ndivzeta())[None], jnp.asarray(_fixture_sumtheta())[None],
+            jnp.asarray(MU), jnp.asarray(INV_SIGMA),
+        )[0]
+
+    def test_ascends_and_stationary(self):
+        lam0 = np.zeros(5)
+        opt = np.asarray(self._solve(lam0))
+        assert _expected_lambda_obj(opt) > _expected_lambda_obj(lam0)
+        np.testing.assert_allclose(_expected_lambda_grad(opt), 0.0, atol=1e-8)
+
+    def test_matches_scipy(self):
+        res = scipy.optimize.minimize(
+            lambda x: -_expected_lambda_obj(x),
+            np.zeros(5),
+            jac=lambda x: -_expected_lambda_grad(x),
+            method="BFGS",
+            options={"gtol": 1e-12},
+        )
+        opt = np.asarray(self._solve(np.zeros(5)))
+        np.testing.assert_allclose(opt, res.x, atol=1e-6)
+
+    def test_warm_start_idempotent(self):
+        opt = np.asarray(self._solve(np.zeros(5)))
+        again = np.asarray(self._solve(opt))
+        np.testing.assert_allclose(again, opt, atol=1e-10)
+
+    def test_no_nans_from_extreme_start(self):
+        opt = np.asarray(self._solve(np.full(5, 30.0)))
+        assert np.all(np.isfinite(opt))
+        np.testing.assert_allclose(_expected_lambda_grad(opt), 0.0, atol=1e-6)
+
+
+def _expected_nu_obj(nu):
+    Eeta = np.exp(LAM + 0.5 * nu)
+    return (
+        -0.5 * np.sum(nu * np.diag(INV_SIGMA))
+        - np.sum(_fixture_Ndivzeta() * Eeta)
+        + 0.5 * np.sum(np.log(nu))
+    )
+
+
+def _expected_nu_grad(nu):
+    Eeta = np.exp(LAM + 0.5 * nu)
+    return -0.5 * np.diag(INV_SIGMA) - 0.5 * _fixture_Ndivzeta() * Eeta + 0.5 / nu
+
+
+class TestNuObjective:
+    def test_value_and_grad(self):
+        nu = NU
+        got = float(
+            solvers.nu_objective(
+                jnp.asarray(nu), jnp.asarray(LAM), jnp.asarray(_fixture_Ndivzeta()),
+                jnp.asarray(np.diag(INV_SIGMA)),
+            )
+        )
+        np.testing.assert_allclose(got, _expected_nu_obj(nu), rtol=1e-12)
+        g = np.asarray(
+            solvers.nu_grad(
+                jnp.asarray(nu), jnp.asarray(LAM), jnp.asarray(_fixture_Ndivzeta()),
+                jnp.asarray(np.diag(INV_SIGMA)),
+            )
+        )
+        np.testing.assert_allclose(g, _expected_nu_grad(nu), rtol=1e-12)
+
+
+class TestMaximizeNu:
+    def test_stationary_positive(self):
+        nu0 = jnp.ones(5)
+        opt = np.asarray(
+            solvers.maximize_nu(
+                nu0, jnp.asarray(LAM), jnp.asarray(_fixture_Ndivzeta()),
+                jnp.asarray(np.diag(INV_SIGMA)),
+            )
+        )
+        assert np.all(opt >= solvers.NU_LOWER_BOUND)
+        np.testing.assert_allclose(_expected_nu_grad(opt), 0.0, atol=1e-8)
+        assert _expected_nu_obj(opt) >= _expected_nu_obj(np.ones(5))
+
+    def test_batched_matches_loop(self):
+        rng = np.random.default_rng(0)
+        lam = rng.normal(size=(4, 5))
+        ndz = rng.uniform(1, 10, size=(4, 5))
+        nu0 = np.ones((4, 5))
+        batched = np.asarray(
+            solvers.maximize_nu(
+                jnp.asarray(nu0), jnp.asarray(lam), jnp.asarray(ndz),
+                jnp.asarray(np.diag(INV_SIGMA))[None].repeat(4, 0),
+            )
+        )
+        for d in range(4):
+            single = np.asarray(
+                solvers.maximize_nu(
+                    jnp.asarray(nu0[d]), jnp.asarray(lam[d]), jnp.asarray(ndz[d]),
+                    jnp.asarray(np.diag(INV_SIGMA)),
+                )
+            )
+            np.testing.assert_allclose(batched[d], single, atol=1e-12)
+
+
+def _expected_alpha_obj(a, S, K, V):
+    return K * (sp_gammaln(V * a) - V * sp_gammaln(a)) + a * S
+
+
+class TestAlpha:
+    # values echo the reference's α-objective tests (test/mmctm.jl:268-293)
+    S, K, V = -40.0, 2, 4
+
+    def test_value_and_grad(self):
+        a = 0.5
+        got = float(solvers.alpha_objective(jnp.float64(a), self.S, self.K, self.V))
+        # rtol bounded by jax-vs-scipy gammaln/digamma implementation precision
+        np.testing.assert_allclose(got, _expected_alpha_obj(a, self.S, self.K, self.V), rtol=1e-8)
+        g = float(solvers.alpha_grad(jnp.float64(a), self.S, self.K, self.V))
+        expected_g = self.K * self.V * (sp_digamma(self.V * a) - sp_digamma(a)) + self.S
+        np.testing.assert_allclose(g, expected_g, rtol=1e-8)
+
+    def test_maximize_improves_and_matches_scalar_opt(self):
+        a0 = 0.1
+        opt = float(solvers.maximize_alpha(jnp.float64(a0), self.S, self.K, self.V))
+        assert _expected_alpha_obj(opt, self.S, self.K, self.V) >= _expected_alpha_obj(
+            a0, self.S, self.K, self.V
+        )
+        res = scipy.optimize.minimize_scalar(
+            lambda a: -_expected_alpha_obj(a, self.S, self.K, self.V),
+            bounds=(1e-7, 100.0),
+            method="bounded",
+            options={"xatol": 1e-12},
+        )
+        np.testing.assert_allclose(opt, res.x, rtol=1e-5)
