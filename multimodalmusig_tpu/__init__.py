@@ -9,6 +9,13 @@ multi-restart fitting, device-mesh sharding, jitted fit loops).
 """
 
 from .models.lda import LDA, fit_heldout as lda_fit_heldout, transform as lda_transform
+from .models.mmctm import (
+    CTM,
+    MMCTM,
+    fit_heldout as mmctm_fit_heldout,
+    predict_modality_eta,
+    transform as mmctm_transform,
+)
 from .utils.formatting import (
     format_counts_ctm,
     format_counts_lda,
@@ -20,17 +27,20 @@ __version__ = "0.1.0"
 
 __all__ = [
     "LDA",
+    "CTM",
+    "MMCTM",
     "format_counts_lda",
     "format_counts_ctm",
     "format_counts_mmctm",
     "make_count_matrix",
     "transform",
     "fit_heldout",
+    "predict_modality_eta",
 ]
 
 # Generic dispatch mirroring Julia's multiple dispatch on fit!/transform/...
-_TRANSFORM_DISPATCH = {LDA: lda_transform}
-_FIT_HELDOUT_DISPATCH = {LDA: lda_fit_heldout}
+_TRANSFORM_DISPATCH = {LDA: lda_transform, MMCTM: mmctm_transform}
+_FIT_HELDOUT_DISPATCH = {LDA: lda_fit_heldout, MMCTM: mmctm_fit_heldout}
 
 
 def transform(model, X, **kwargs):

@@ -1,1 +1,1 @@
-from . import lda  # noqa: F401
+from . import lda, mmctm  # noqa: F401

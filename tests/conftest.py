@@ -18,6 +18,9 @@ import jax  # noqa: E402
 jax.config.update("jax_enable_x64", True)
 jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+# The axon TPU platform registers itself even when JAX_PLATFORMS=cpu; pin the
+# default device so tests genuinely run on the virtual 8-device CPU mesh.
+jax.config.update("jax_default_device", jax.devices("cpu")[0])
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
