@@ -8,12 +8,19 @@ variational inference, with the reference's public surface
 multi-restart fitting, device-mesh sharding, jitted fit loops).
 """
 
+from .models.ilda import ILDA, fit_heldout as ilda_fit_heldout, transform as ilda_transform
+from .models.immctm import (
+    IMMCTM,
+    fit_heldout as immctm_fit_heldout,
+    predict_modality_eta as immctm_predict_modality_eta,
+    transform as immctm_transform,
+)
 from .models.lda import LDA, fit_heldout as lda_fit_heldout, transform as lda_transform
 from .models.mmctm import (
     CTM,
     MMCTM,
     fit_heldout as mmctm_fit_heldout,
-    predict_modality_eta,
+    predict_modality_eta as mmctm_predict_modality_eta,
     transform as mmctm_transform,
 )
 from .utils.formatting import (
@@ -27,8 +34,10 @@ __version__ = "0.1.0"
 
 __all__ = [
     "LDA",
+    "ILDA",
     "CTM",
     "MMCTM",
+    "IMMCTM",
     "format_counts_lda",
     "format_counts_ctm",
     "format_counts_mmctm",
@@ -39,8 +48,18 @@ __all__ = [
 ]
 
 # Generic dispatch mirroring Julia's multiple dispatch on fit!/transform/...
-_TRANSFORM_DISPATCH = {LDA: lda_transform, MMCTM: mmctm_transform}
-_FIT_HELDOUT_DISPATCH = {LDA: lda_fit_heldout, MMCTM: mmctm_fit_heldout}
+_TRANSFORM_DISPATCH = {
+    LDA: lda_transform,
+    ILDA: ilda_transform,
+    MMCTM: mmctm_transform,
+    IMMCTM: immctm_transform,
+}
+_FIT_HELDOUT_DISPATCH = {
+    LDA: lda_fit_heldout,
+    ILDA: ilda_fit_heldout,
+    MMCTM: mmctm_fit_heldout,
+    IMMCTM: immctm_fit_heldout,
+}
 
 
 def transform(model, X, **kwargs):
@@ -57,3 +76,12 @@ def fit_heldout(Xheldout, model, **kwargs):
         if isinstance(model, cls):
             return fn(Xheldout, model, **kwargs)
     raise TypeError(f"no fit_heldout for {type(model)!r}")
+
+
+def predict_modality_eta(Xobs, m, model, **kwargs):
+    """Dispatch `predict_modality_η(Xobs, m, model)` (1-based m, as in Julia)."""
+    if isinstance(model, IMMCTM):
+        return immctm_predict_modality_eta(Xobs, m, model, **kwargs)
+    if isinstance(model, MMCTM):
+        return mmctm_predict_modality_eta(Xobs, m, model, **kwargs)
+    raise TypeError(f"no predict_modality_eta for {type(model)!r}")

@@ -1,1 +1,1 @@
-from . import lda, mmctm  # noqa: F401
+from . import ctm_base, ilda, immctm, lda, mmctm  # noqa: F401

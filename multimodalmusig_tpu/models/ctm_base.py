@@ -1,0 +1,180 @@
+"""Shared logistic-normal CTM machinery used by MMCTM and IMMCTM.
+
+The reference duplicates these routines verbatim between src/MMCTM.jl and
+src/IMMCTM.jl (calculate_sumθ/Ndivζ, update_λ!/ν!/ζ!/μ!/Σ!, the Gaussian
+ELBO terms, the CAVI convergence loop); here they are written once against
+the common state layout (λ/ν (D, MK), ζ (D, M), μ/Σ/invΣ (MK,)).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.convergence import MIN_ITERS_BEFORE_CONVERGENCE, relative_change
+from ..ops.solvers import maximize_lambda, maximize_nu
+
+__all__ = [
+    "CTMBaseConfig",
+    "counts_per_doc",
+    "calculate_Ndivzeta",
+    "calculate_sumtheta",
+    "update_zeta",
+    "solve_nu",
+    "solve_lambda",
+    "update_mu_vec",
+    "update_Sigma_mats",
+    "spd_inverse",
+    "props_from_lam",
+    "run_cavi",
+    "elbo_eta_z_terms",
+]
+
+
+@dataclasses.dataclass(frozen=True)
+class CTMBaseConfig:
+    """Static per-modality topic/vocab structure shared by MMCTM and IMMCTM."""
+
+    K: Tuple[int, ...]  # topics per modality
+    V: Tuple[int, ...]  # vocab items per modality
+    D: int              # documents
+    dtype: Any = jnp.float32
+
+    @property
+    def M(self) -> int:
+        return len(self.K)
+
+    @property
+    def MK(self) -> int:
+        return sum(self.K)
+
+    @property
+    def offsets(self) -> Tuple[int, ...]:
+        out, acc = [], 0
+        for k in self.K:
+            out.append(acc)
+            acc += k
+        return tuple(out)
+
+    def block(self, arr: jnp.ndarray, m: int) -> jnp.ndarray:
+        """Slice modality m's topic block from the last axis."""
+        o = self.offsets[m]
+        return arr[..., o : o + self.K[m]]
+
+
+def counts_per_doc(X: Sequence[jnp.ndarray]) -> jnp.ndarray:
+    """N[d, m] = total counts of document d in modality m (src/MMCTM.jl:37)."""
+    return jnp.stack([Xm.sum(axis=1) for Xm in X], axis=1)
+
+
+def calculate_Ndivzeta(N: jnp.ndarray, zeta: jnp.ndarray, config) -> jnp.ndarray:
+    """(D, MK): N_dm/ζ_dm broadcast to modality m's topic block
+    (src/MMCTM.jl:119-125, src/IMMCTM.jl:98-104)."""
+    parts = [
+        jnp.repeat((N[:, m] / zeta[:, m])[:, None], config.K[m], axis=1)
+        for m in range(config.M)
+    ]
+    return jnp.concatenate(parts, axis=1)
+
+
+def calculate_sumtheta(theta: Sequence[jnp.ndarray], X: Sequence[jnp.ndarray], config) -> jnp.ndarray:
+    """(D, MK): per-topic expected counts, concatenated over modalities
+    (src/MMCTM.jl:110-117, src/IMMCTM.jl:90-96)."""
+    parts = [
+        jnp.einsum("dv,dvk->dk", X[m], theta[m], preferred_element_type=config.dtype)
+        for m in range(config.M)
+    ]
+    return jnp.concatenate(parts, axis=1)
+
+
+def update_zeta(lam: jnp.ndarray, nu: jnp.ndarray, config) -> jnp.ndarray:
+    """ζ_dm = Σ_k exp(λ+ν/2) over modality m's block (src/MMCTM.jl:172-181)."""
+    e = jnp.exp(lam + 0.5 * nu)
+    return jnp.stack([config.block(e, m).sum(axis=1) for m in range(config.M)], axis=1)
+
+
+def solve_nu(nu, lam, Ndivzeta, invSigma):
+    """Batched ν maximization (replaces NLopt at src/MMCTM.jl:156-170)."""
+    return maximize_nu(nu, lam, Ndivzeta, jnp.diagonal(invSigma)[None, :])
+
+
+def solve_lambda(lam, nu, Ndivzeta, sumtheta, mu, invSigma):
+    """Batched λ maximization (replaces NLopt at src/MMCTM.jl:127-143)."""
+    return maximize_lambda(lam, nu, Ndivzeta, sumtheta, mu, invSigma)
+
+
+def update_mu_vec(lam: jnp.ndarray) -> jnp.ndarray:
+    """μ = mean_d λ_d (src/MMCTM.jl:200-202)."""
+    return lam.mean(axis=0)
+
+
+def spd_inverse(Sigma: jnp.ndarray) -> jnp.ndarray:
+    """Cholesky inverse of an SPD matrix (vs. LU `inv` at src/MMCTM.jl:211)."""
+    chol = jax.scipy.linalg.cho_factor(Sigma)
+    return jax.scipy.linalg.cho_solve(chol, jnp.eye(Sigma.shape[0], dtype=Sigma.dtype))
+
+
+def update_Sigma_mats(lam, nu, mu, D):
+    """Σ = (Σ_d diag(ν_d) + (λ_d-μ)(λ_d-μ)ᵀ)/D and invΣ (src/MMCTM.jl:204-212)."""
+    E = lam - mu[None, :]
+    Sigma = (jnp.diag(nu.sum(axis=0)) + E.T @ E) / D
+    return Sigma, spd_inverse(Sigma)
+
+
+def props_from_lam(lam: jnp.ndarray, config) -> Tuple[jnp.ndarray, ...]:
+    """Per-modality doc-topic proportions: softmax of λ's block
+    (src/MMCTM.jl:145-154). Tuple of (D, K_m)."""
+    return tuple(jax.nn.softmax(config.block(lam, m), axis=-1) for m in range(config.M))
+
+
+def run_cavi(state, config, maxiter, tol, step_fn, verbose=False):
+    """jit-able CAVI driver with the reference's convergence rule
+    (rel. Δ of the (M,) ll vector < tol after iteration 10; src/common.jl:48-56).
+    Returns (state, ll_buf (maxiter, M), n_iters, converged)."""
+    ll_buf = jnp.zeros((maxiter, config.M), config.dtype)
+
+    def cond(carry):
+        _, _, it, converged = carry
+        return (it < maxiter) & ~converged
+
+    def body(carry):
+        state, ll_buf, it, _ = carry
+        state, ll_i = step_fn(state)
+        ll_buf = ll_buf.at[it].set(ll_i)
+        if verbose:
+            jax.debug.print("{}\tLog-likelihoods: {}", it + 1, ll_i)
+        converged = (it + 1 > MIN_ITERS_BEFORE_CONVERGENCE) & (
+            relative_change(ll_buf[it - 1], ll_i) < tol
+        )
+        return state, ll_buf, it + 1, converged
+
+    init_carry = (state, ll_buf, jnp.int32(0), jnp.array(False))
+    return jax.lax.while_loop(cond, body, init_carry)
+
+
+def elbo_eta_z_terms(lam, nu, zeta, mu, invSigma, theta, X, N, config):
+    """ElnPη + ElnPZ − ElnQη — the logistic-normal ELBO pieces shared by
+    MMCTM and IMMCTM (src/MMCTM.jl:286-318, 354-360; identical in
+    src/IMMCTM.jl:262-296, 330-336)."""
+    D, MK = config.D, config.MK
+    Ediff = lam - mu[None, :]
+    chol = jnp.linalg.cholesky(invSigma)
+    logdet = 2.0 * jnp.sum(jnp.log(jnp.diagonal(chol)))
+    quad = jnp.einsum("di,ij,dj->", Ediff, invSigma, Ediff)
+    trace = jnp.sum(nu * jnp.diagonal(invSigma)[None, :])
+    ElnPeta = 0.5 * (D * logdet - D * MK * jnp.log(2 * jnp.pi) - trace - quad)
+
+    Eeta = jnp.exp(lam + 0.5 * nu)
+    sumtheta = calculate_sumtheta(theta, X, config)
+    Ndivzeta = calculate_Ndivzeta(N, zeta, config)
+    ElnPZ = (
+        jnp.sum(lam * sumtheta)
+        - (jnp.sum(Ndivzeta * Eeta) - jnp.sum(N))
+        - jnp.sum(N * jnp.log(zeta))
+    )
+
+    ElnQeta = -0.5 * (jnp.sum(jnp.log(nu)) + D * MK * (jnp.log(2 * jnp.pi) + 1.0))
+    return ElnPeta + ElnPZ - ElnQeta

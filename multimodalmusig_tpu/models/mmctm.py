@@ -46,17 +46,30 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops.convergence import MIN_ITERS_BEFORE_CONVERGENCE, relative_change
-from ..ops.solvers import maximize_alpha, maximize_lambda, maximize_nu
+from ..ops.solvers import maximize_alpha
 from ..ops.special import (
     dirichlet_expectation,
-    gammaln,
     logmvbeta,
     logmvbeta_symmetric,
     safe_xlogy,
     xlogx,
 )
 from ..utils.formatting import infer_vocab_size, sparse_to_dense
+from .ctm_base import (
+    CTMBaseConfig,
+    calculate_Ndivzeta as _base_Ndivzeta,
+    calculate_sumtheta as _base_sumtheta,
+    counts_per_doc,
+    elbo_eta_z_terms,
+    props_from_lam,
+    run_cavi as _run_cavi_base,
+    solve_lambda,
+    solve_nu,
+    spd_inverse as _spd_inverse,
+    update_Sigma_mats,
+    update_mu_vec,
+    update_zeta as _base_update_zeta,
+)
 
 __all__ = [
     "MMCTMConfig",
@@ -70,36 +83,9 @@ __all__ = [
 ]
 
 
-@dataclasses.dataclass(frozen=True)
-class MMCTMConfig:
-    """Static configuration: topic counts and vocab sizes per modality."""
-
-    K: Tuple[int, ...]  # topics per modality (src/MMCTM.jl:2)
-    V: Tuple[int, ...]  # vocab items per modality (src/MMCTM.jl:6)
-    D: int              # documents
-    dtype: Any = jnp.float32
-
-    @property
-    def M(self) -> int:
-        return len(self.K)
-
-    @property
-    def MK(self) -> int:
-        return sum(self.K)
-
-    @property
-    def offsets(self) -> Tuple[int, ...]:
-        """Start index of each modality's topic block in the MK axis."""
-        out, acc = [], 0
-        for k in self.K:
-            out.append(acc)
-            acc += k
-        return tuple(out)
-
-    def block(self, arr: jnp.ndarray, m: int) -> jnp.ndarray:
-        """Slice modality m's topic block from the last axis of `arr`."""
-        o = self.offsets[m]
-        return arr[..., o : o + self.K[m]]
+class MMCTMConfig(CTMBaseConfig):
+    """Static configuration: topic counts and vocab sizes per modality
+    (K at src/MMCTM.jl:2, V at src/MMCTM.jl:6)."""
 
 
 class MMCTMState(NamedTuple):
@@ -132,11 +118,6 @@ class MMCTMFitResult(NamedTuple):
     converged: jnp.ndarray
     elbo: jnp.ndarray
     ll: jnp.ndarray          # (M,) final per-modality log-likelihood
-
-
-def counts_per_doc(X: Sequence[jnp.ndarray]) -> jnp.ndarray:
-    """N[d, m] = total counts of document d in modality m (src/MMCTM.jl:37)."""
-    return jnp.stack([Xm.sum(axis=1) for Xm in X], axis=1)
 
 
 # ---------------------------------------------------------------------------
@@ -197,34 +178,15 @@ def init(
 # ---------------------------------------------------------------------------
 
 
-def calculate_Ndivzeta(N: jnp.ndarray, zeta: jnp.ndarray, config: MMCTMConfig) -> jnp.ndarray:
-    """(D, MK): N_dm/ζ_dm broadcast to modality m's topic block
-    (src/MMCTM.jl:119-125)."""
-    parts = [
-        jnp.repeat((N[:, m] / zeta[:, m])[:, None], config.K[m], axis=1)
-        for m in range(config.M)
-    ]
-    return jnp.concatenate(parts, axis=1)
-
-
-def calculate_sumtheta(
-    theta: Sequence[jnp.ndarray], X: Sequence[jnp.ndarray], config: MMCTMConfig
-) -> jnp.ndarray:
-    """(D, MK): per-topic expected counts, concatenated over modalities
-    (src/MMCTM.jl:110-117)."""
-    parts = [
-        jnp.einsum("dv,dvk->dk", X[m], theta[m], preferred_element_type=config.dtype)
-        for m in range(config.M)
-    ]
-    return jnp.concatenate(parts, axis=1)
+# Shared with IMMCTM — defined once in ctm_base, re-exported here for the
+# test/consumer surface.
+calculate_Ndivzeta = _base_Ndivzeta
+calculate_sumtheta = _base_sumtheta
 
 
 def update_zeta(state: MMCTMState, config: MMCTMConfig) -> jnp.ndarray:
     """ζ_dm = Σ_k exp(λ+ν/2) over modality m's block (src/MMCTM.jl:172-181)."""
-    e = jnp.exp(state.lam + 0.5 * state.nu)
-    return jnp.stack(
-        [config.block(e, m).sum(axis=1) for m in range(config.M)], axis=1
-    )
+    return _base_update_zeta(state.lam, state.nu, config)
 
 
 def update_theta(state: MMCTMState, config: MMCTMConfig) -> Tuple[jnp.ndarray, ...]:
@@ -267,13 +229,9 @@ def e_step(
     state = state._replace(theta=theta)
 
     Ndivzeta = calculate_Ndivzeta(N, zeta, config)
-    nu = maximize_nu(
-        state.nu, state.lam, Ndivzeta, jnp.diagonal(state.invSigma)[None, :]
-    )
+    nu = solve_nu(state.nu, state.lam, Ndivzeta, state.invSigma)
     sumtheta = calculate_sumtheta(theta, X, config)
-    lam = maximize_lambda(
-        state.lam, nu, Ndivzeta, sumtheta, state.mu, state.invSigma
-    )
+    lam = solve_lambda(state.lam, nu, Ndivzeta, sumtheta, state.mu, state.invSigma)
     return state._replace(nu=nu, lam=lam)
 
 
@@ -284,20 +242,14 @@ def e_step(
 
 def update_mu(state: MMCTMState) -> MMCTMState:
     """μ = mean_d λ_d (src/MMCTM.jl:200-202)."""
-    return state._replace(mu=state.lam.mean(axis=0))
-
-
-def _spd_inverse(Sigma: jnp.ndarray) -> jnp.ndarray:
-    chol = jax.scipy.linalg.cho_factor(Sigma)
-    return jax.scipy.linalg.cho_solve(chol, jnp.eye(Sigma.shape[0], dtype=Sigma.dtype))
+    return state._replace(mu=update_mu_vec(state.lam))
 
 
 def update_Sigma(state: MMCTMState, config: MMCTMConfig) -> MMCTMState:
     """Σ = (Σ_d diag(ν_d) + (λ_d-μ)(λ_d-μ)ᵀ) / D, then invΣ
     (src/MMCTM.jl:204-212)."""
-    E = state.lam - state.mu[None, :]
-    Sigma = (jnp.diag(state.nu.sum(axis=0)) + E.T @ E) / config.D
-    return state._replace(Sigma=Sigma, invSigma=_spd_inverse(Sigma))
+    Sigma, invSigma = update_Sigma_mats(state.lam, state.nu, state.mu, config.D)
+    return state._replace(Sigma=Sigma, invSigma=invSigma)
 
 
 def update_gamma(
@@ -329,12 +281,7 @@ def update_alpha(state: MMCTMState, config: MMCTMConfig) -> MMCTMState:
     return state._replace(alpha=jnp.stack(alphas))
 
 
-def props_from(lam: jnp.ndarray, config: MMCTMConfig) -> Tuple[jnp.ndarray, ...]:
-    """Per-modality doc-topic proportions: softmax of λ's block
-    (src/MMCTM.jl:145-154). Returns tuple of (D, K_m)."""
-    return tuple(
-        jax.nn.softmax(config.block(lam, m), axis=-1) for m in range(config.M)
-    )
+props_from = props_from_lam
 
 
 def phi_point(gamma: Sequence[jnp.ndarray]) -> Tuple[jnp.ndarray, ...]:
@@ -353,7 +300,6 @@ def calculate_elbo(
     """The 7-term logistic-normal + Dirichlet ELBO with the Blei-Lafferty
     ζ bound (src/MMCTM.jl:271-382)."""
     dt = config.dtype
-    MK, D = config.MK, config.D
 
     # ElnPϕ (src/MMCTM.jl:271-284)
     ElnPphi = jnp.zeros((), dt)
@@ -361,24 +307,10 @@ def calculate_elbo(
         ElnPphi += -config.K[m] * logmvbeta_symmetric(state.alpha[m], config.V[m])
         ElnPphi += (state.alpha[m] - 1.0) * jnp.sum(state.Elnphi[m])
 
-    # ElnPη (src/MMCTM.jl:286-301): Gaussian cross-entropy terms.
-    # logdet(invΣ) via Cholesky — invΣ is SPD by construction; avoids the
-    # LU-decomposition expansion of slogdet (which the TPU compiler rejects).
-    Ediff = state.lam - state.mu[None, :]
-    chol = jnp.linalg.cholesky(state.invSigma)
-    logdet = 2.0 * jnp.sum(jnp.log(jnp.diagonal(chol)))
-    quad = jnp.einsum("di,ij,dj->", Ediff, state.invSigma, Ediff)
-    trace = jnp.sum(state.nu * jnp.diagonal(state.invSigma)[None, :])
-    ElnPeta = 0.5 * (D * logdet - D * MK * jnp.log(2 * jnp.pi) - trace - quad)
-
-    # ElnPZ (src/MMCTM.jl:303-318): Blei-Lafferty bound terms
-    Eeta = jnp.exp(state.lam + 0.5 * state.nu)
-    sumtheta = calculate_sumtheta(state.theta, X, config)
-    Ndivzeta = calculate_Ndivzeta(N, state.zeta, config)
-    ElnPZ = (
-        jnp.sum(state.lam * sumtheta)
-        - (jnp.sum(Ndivzeta * Eeta) - jnp.sum(N))
-        - jnp.sum(N * jnp.log(state.zeta))
+    # ElnPη + ElnPZ − ElnQη (src/MMCTM.jl:286-318, 354-360) — shared base
+    eta_z = elbo_eta_z_terms(
+        state.lam, state.nu, state.zeta, state.mu, state.invSigma,
+        state.theta, X, N, config,
     )
 
     # ElnPX (src/MMCTM.jl:320-338)
@@ -392,15 +324,12 @@ def calculate_elbo(
         ElnQphi += jnp.sum(-logmvbeta(state.gamma[m], axis=1))
         ElnQphi += jnp.sum((state.gamma[m] - 1.0) * state.Elnphi[m])
 
-    # ElnQη (src/MMCTM.jl:354-360)
-    ElnQeta = -0.5 * (jnp.sum(jnp.log(state.nu)) + D * MK * (jnp.log(2 * jnp.pi) + 1.0))
-
     # ElnQZ (src/MMCTM.jl:362-370) — count-weighted here (unlike LDA's)
     ElnQZ = jnp.zeros((), dt)
     for m in range(config.M):
         ElnQZ += jnp.einsum("dv,dvk->", X[m], xlogx(state.theta[m]))
 
-    return ElnPphi + ElnPeta + ElnPZ + ElnPX - ElnQphi - ElnQeta - ElnQZ
+    return ElnPphi + eta_z + ElnPX - ElnQphi - ElnQZ
 
 
 # ---------------------------------------------------------------------------
@@ -435,27 +364,7 @@ def doc_modality_loglikelihood(
 # ---------------------------------------------------------------------------
 
 
-def _run_cavi(state, config, maxiter, tol, step_fn, verbose=False):
-    """Shared jit-able CAVI driver; ll metric is the (M,) modality vector."""
-    ll_buf = jnp.zeros((maxiter, config.M), config.dtype)
-
-    def cond(carry):
-        _, _, it, converged = carry
-        return (it < maxiter) & ~converged
-
-    def body(carry):
-        state, ll_buf, it, _ = carry
-        state, ll_i = step_fn(state)
-        ll_buf = ll_buf.at[it].set(ll_i)
-        if verbose:
-            jax.debug.print("{}\tLog-likelihoods: {}", it + 1, ll_i)
-        converged = (it + 1 > MIN_ITERS_BEFORE_CONVERGENCE) & (
-            relative_change(ll_buf[it - 1], ll_i) < tol
-        )
-        return state, ll_buf, it + 1, converged
-
-    init_carry = (state, ll_buf, jnp.int32(0), jnp.array(False))
-    return jax.lax.while_loop(cond, body, init_carry)
+_run_cavi = _run_cavi_base
 
 
 def fit(
