@@ -23,12 +23,14 @@ from .models.mmctm import (
     predict_modality_eta as mmctm_predict_modality_eta,
     transform as mmctm_transform,
 )
+from .parallel.restarts import fit_mmctm_restarts
 from .utils.formatting import (
     format_counts_ctm,
     format_counts_lda,
     format_counts_mmctm,
     make_count_matrix,
 )
+from .utils.io import load_model, save_model
 
 __version__ = "0.1.0"
 
@@ -45,6 +47,9 @@ __all__ = [
     "transform",
     "fit_heldout",
     "predict_modality_eta",
+    "fit_mmctm_restarts",
+    "save_model",
+    "load_model",
 ]
 
 # Generic dispatch mirroring Julia's multiple dispatch on fit!/transform/...

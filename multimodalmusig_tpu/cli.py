@@ -1,0 +1,123 @@
+"""run-mmctm CLI: multi-restart MMCTM fitting on mutation count TSVs.
+
+Mirrors the reference's production workflow (scripts/run_mmctm.jl:15-71
+argument surface, :163-180 two-stage fitting, :272-290 outputs), with the
+restart fan-out running as a single compiled vmap on the accelerator instead
+of `julia -p N` worker processes.
+
+Usage:
+    python -m multimodalmusig_tpu.cli snv.tsv sv.tsv -k 7 7 \
+        -m SNV SV --restarts 100 --sigs sigs.tsv --props props.tsv
+
+Input TSVs: column 1 = `term`, remaining columns = samples (the bundled
+BRCA-EU format, data/brca-eu_*_counts.tsv).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="run-mmctm",
+        description="Fit a multi-modal correlated topic model (MMCTM) to "
+        "mutation count matrices with multi-restart model selection.",
+    )
+    # inputs (run_mmctm.jl:19-30)
+    p.add_argument("counts", nargs="+", help="mutation counts tsv files (one per modality)")
+    p.add_argument(
+        "-k", "--num-sigs", dest="k", type=int, nargs="+", required=True,
+        help="number of signatures for each mutation type",
+    )
+    p.add_argument(
+        "-m", "--modality-labels", dest="modalities", nargs="+", required=True,
+        help="modality labels for output",
+    )
+    # outputs (run_mmctm.jl:32-44)
+    p.add_argument("--model", help="model checkpoint output (.npz)")
+    p.add_argument("--mean", help="gaussian mean output tsv file")
+    p.add_argument("--cov", help="gaussian covariance matrix output tsv file")
+    p.add_argument("--cor", help="correlation output tsv file")
+    p.add_argument("--sigs", help="signatures output tsv file")
+    p.add_argument("--props", help="signature proportions output tsv file")
+    # options (run_mmctm.jl:46-70)
+    p.add_argument(
+        "--restarts", "-r", type=int, default=1000,
+        help="number of restarts for the first fitting stage (default 1000)",
+    )
+    p.add_argument(
+        "--stage2-restarts", type=int, default=1,
+        help="stage-2 restarts; the reference's stage-2 restarts are "
+        "deterministic duplicates, so 1 reproduces its result (default 1)",
+    )
+    p.add_argument("--verbose", "-v", action="store_true", help="print output")
+    p.add_argument(
+        "--progress", "-p", action="store_true",
+        help="accepted for reference-CLI compatibility (restarts run as one "
+        "compiled program; there is no per-restart progress to stream)",
+    )
+    p.add_argument("--seed", "-s", type=int, default=147959412, help="random state seed")
+    p.add_argument(
+        "--alpha", "-a", type=float, default=0.1,
+        help="topic dirichlet hyperparameter value",
+    )
+    p.add_argument("--maxiter", type=int, default=1000, help="max CAVI iterations per fit")
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+
+    if len(args.counts) != len(args.k):
+        print("Number of count files must match the number of K values.", file=sys.stderr)
+        return 1
+    if len(args.modalities) != len(args.k):
+        print("Number of modality labels must match the number of K values.", file=sys.stderr)
+        return 1
+
+    import pandas as pd
+
+    from .parallel.restarts import fit_mmctm_restarts
+    from .utils import io as io_mod
+    from .utils.formatting import format_counts_mmctm
+
+    countdfs = [pd.read_csv(f, sep="\t") for f in args.counts]
+    samples = [c for c in countdfs[0].columns if c != "term"]
+    counts = format_counts_mmctm(countdfs, samples)
+    alpha = [args.alpha] * len(args.k)
+    V = [df.shape[0] for df in countdfs]
+
+    model = fit_mmctm_restarts(
+        args.k,
+        alpha,
+        counts,
+        V=V,
+        restarts=args.restarts,
+        stage2_restarts=args.stage2_restarts,
+        maxiter=args.maxiter,
+        seed=args.seed,
+        verbose=args.verbose,
+    )
+    if args.verbose:
+        print(f"Log-likelihoods: {model.ll}")
+
+    if args.model:
+        io_mod.save_model(args.model, model)
+    if args.mean:
+        io_mod.write_mean(args.mean, model)
+    if args.cov:
+        io_mod.write_cov(args.cov, model)
+    if args.cor:
+        io_mod.write_cor(args.cor, model)
+    if args.sigs:
+        terms = [list(df["term"]) for df in countdfs]
+        io_mod.write_sigs(args.sigs, model, terms, args.modalities)
+    if args.props:
+        io_mod.write_props(args.props, model, samples, args.modalities)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

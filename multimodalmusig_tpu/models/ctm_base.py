@@ -130,15 +130,28 @@ def props_from_lam(lam: jnp.ndarray, config) -> Tuple[jnp.ndarray, ...]:
     return tuple(jax.nn.softmax(config.block(lam, m), axis=-1) for m in range(config.M))
 
 
-def run_cavi(state, config, maxiter, tol, step_fn, verbose=False):
-    """jit-able CAVI driver with the reference's convergence rule
-    (rel. Δ of the (M,) ll vector < tol after iteration 10; src/common.jl:48-56).
-    Returns (state, ll_buf (maxiter, M), n_iters, converged)."""
+def make_cavi_carry(state, config, maxiter):
+    """Fresh CAVI loop carry: (state, ll ring buffer, iteration, converged)."""
     ll_buf = jnp.zeros((maxiter, config.M), config.dtype)
+    return (state, ll_buf, jnp.int32(0), jnp.array(False))
+
+
+def run_cavi_from(carry, maxiter, tol, step_fn, verbose=False, max_new_iters=None):
+    """Resume the CAVI while_loop from an existing carry for up to
+    `max_new_iters` more iterations (None = to maxiter). Chunked resumption
+    keeps each device execution bounded — long fits are driven as a host loop
+    over chunks, which matters on remote-attached accelerators where a single
+    multi-minute execution can trip runtime watchdogs."""
+    it0 = carry[2]
+    limit = (
+        jnp.int32(maxiter)
+        if max_new_iters is None
+        else jnp.minimum(it0 + max_new_iters, maxiter)
+    )
 
     def cond(carry):
         _, _, it, converged = carry
-        return (it < maxiter) & ~converged
+        return (it < limit) & ~converged
 
     def body(carry):
         state, ll_buf, it, _ = carry
@@ -151,8 +164,16 @@ def run_cavi(state, config, maxiter, tol, step_fn, verbose=False):
         )
         return state, ll_buf, it + 1, converged
 
-    init_carry = (state, ll_buf, jnp.int32(0), jnp.array(False))
-    return jax.lax.while_loop(cond, body, init_carry)
+    return jax.lax.while_loop(cond, body, carry)
+
+
+def run_cavi(state, config, maxiter, tol, step_fn, verbose=False):
+    """jit-able CAVI driver with the reference's convergence rule
+    (rel. Δ of the (M,) ll vector < tol after iteration 10; src/common.jl:48-56).
+    Returns (state, ll_buf (maxiter, M), n_iters, converged)."""
+    return run_cavi_from(
+        make_cavi_carry(state, config, maxiter), maxiter, tol, step_fn, verbose
+    )
 
 
 def elbo_eta_z_terms(lam, nu, zeta, mu, invSigma, theta, X, N, config):

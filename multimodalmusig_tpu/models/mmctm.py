@@ -367,24 +367,17 @@ def doc_modality_loglikelihood(
 _run_cavi = _run_cavi_base
 
 
-def fit(
-    state: MMCTMState,
+def fit_step_fn(
     X: Sequence[jnp.ndarray],
+    N: jnp.ndarray,
     config: MMCTMConfig,
-    maxiter: int = 100,
-    tol: float = 1e-4,
-    verbose: bool = False,
     autoalpha: bool = False,
     update_sigma: bool = True,
-) -> MMCTMFitResult:
-    """Full MMCTM CAVI (src/MMCTM.jl:457-494). Pure; jit/vmap-safe.
-
-    One iteration: batched E-step (ζ/θ/ν/λ ∀d) → μ → Σ (if update_sigma) →
-    γ → α (if autoalpha) → per-modality log-likelihoods from softmax(λ) and
-    normalized γ.
-    """
-    X = tuple(X)
-    N = counts_per_doc(X)
+):
+    """One full CAVI iteration as a closure (src/MMCTM.jl:463-479):
+    batched E-step (ζ/θ/ν/λ ∀d) → μ → Σ (if update_sigma) → γ → α (if
+    autoalpha) → per-modality log-likelihoods from softmax(λ) and
+    normalized γ."""
 
     def step(s):
         s = e_step(s, X, N, config)
@@ -397,7 +390,13 @@ def fit(
         ll_i = modality_loglikelihoods(X, props_from(s.lam, config), phi_point(s.gamma))
         return s, ll_i
 
-    state, ll_buf, n_iters, converged = _run_cavi(state, config, maxiter, tol, step, verbose)
+    return step
+
+
+def finalize_fit(carry, X, N, config: MMCTMConfig) -> MMCTMFitResult:
+    """Turn a finished CAVI carry into an MMCTMFitResult (final ELBO as at
+    src/MMCTM.jl:490)."""
+    state, ll_buf, n_iters, converged = carry
     return MMCTMFitResult(
         state=state,
         ll_history=ll_buf,
@@ -406,6 +405,24 @@ def fit(
         elbo=calculate_elbo(state, X, N, config),
         ll=ll_buf[n_iters - 1],
     )
+
+
+def fit(
+    state: MMCTMState,
+    X: Sequence[jnp.ndarray],
+    config: MMCTMConfig,
+    maxiter: int = 100,
+    tol: float = 1e-4,
+    verbose: bool = False,
+    autoalpha: bool = False,
+    update_sigma: bool = True,
+) -> MMCTMFitResult:
+    """Full MMCTM CAVI (src/MMCTM.jl:457-494). Pure; jit/vmap-safe."""
+    X = tuple(X)
+    N = counts_per_doc(X)
+    step = fit_step_fn(X, N, config, autoalpha, update_sigma)
+    carry = _run_cavi(state, config, maxiter, tol, step, verbose)
+    return finalize_fit(carry, X, N, config)
 
 
 def transform_states(
@@ -623,7 +640,7 @@ class MMCTM:
 
     @property
     def alpha(self):
-        return list(np.asarray(self.state.alpha))
+        return [float(a) for a in np.asarray(self.state.alpha)]
 
     @property
     def props(self):
@@ -730,7 +747,7 @@ def init_with_alpha(key, config, Xdense, alpha, init_method="random"):
     """init() plus the user's α vector (the reference stores α in the model,
     src/MMCTM.jl:35)."""
     state = init(key, config, Xdense, init_method)
-    return state._replace(alpha=jnp.asarray([float(a) for a in alpha], config.dtype))
+    return state._replace(alpha=jnp.asarray(alpha, config.dtype))
 
 
 class CTM(MMCTM):

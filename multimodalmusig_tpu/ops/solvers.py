@@ -90,55 +90,85 @@ def lambda_grad(lam, nu, Ndivzeta, sumtheta, mu, invSigma):
     return -(invSigma @ (lam - mu)) + sumtheta - Ndivzeta * Eeta
 
 
-def _maximize_lambda_one(lam0, nu, Ndivzeta, sumtheta, mu, invSigma, n_iter):
-    """Damped Newton ascent on the λ-objective for one document.
+def _batched_lambda_objective(lam, nu, Ndivzeta, sumtheta, mu, invSigma):
+    """λ-objective over arbitrary leading batch dims; last axis is MK."""
+    diff = lam - mu
+    quad = -0.5 * jnp.sum(diff * (diff @ invSigma), axis=-1)
+    Eeta = jnp.exp(lam + 0.5 * nu)
+    return quad + jnp.sum(lam * sumtheta, axis=-1) - jnp.sum(Ndivzeta * Eeta, axis=-1)
 
-    Hessian = -(Σ⁻¹ + diag(Ndivζ·exp(λ+ν/2))) is negative definite, so the
-    Newton direction is always an ascent direction; the candidate-step argmax
-    keeps the iteration monotone even far from the optimum (replacing the
-    conservative MMA outer approximation of NLopt, src/MMCTM.jl:128).
+
+def _cg_solve(w, g, invSigma, n_iter):
+    """Batched CG for (Σ⁻¹ + diag(w)) δ = g over (B, MK) without ever
+    materializing the (B, MK, MK) Hessians: each matvec is one shared-matrix
+    matmul plus an elementwise product. On TPU this beats batched small-matrix
+    Cholesky by ~2 orders of magnitude (the XLA small-Cholesky lowering is
+    latency-bound); with n_iter = MK the solve is exact in exact arithmetic.
     """
-    eye = jnp.eye(lam0.shape[0], dtype=lam0.dtype)
 
-    def make_body(scales):
-        def body(_, lam):
-            g = lambda_grad(lam, nu, Ndivzeta, sumtheta, mu, invSigma)
-            w = Ndivzeta * jnp.exp(lam + 0.5 * nu)
-            # Solve (Σ⁻¹ + diag(w)) δ = g; tiny ridge keeps Cholesky robust.
-            H = invSigma + w[:, None] * eye + 1e-12 * eye
-            chol = jax.scipy.linalg.cho_factor(H)
-            delta = jax.scipy.linalg.cho_solve(chol, g)
-            candidates = lam[None, :] + scales[:, None] * delta[None, :]
-            fvals = jax.vmap(
-                lambda c: lambda_objective(c, nu, Ndivzeta, sumtheta, mu, invSigma)
-            )(candidates)
-            fvals = jnp.where(jnp.isfinite(fvals), fvals, -jnp.inf)
-            return candidates[jnp.argmax(fvals)]
+    def mv(v):
+        return v @ invSigma + w * v
 
-        return body
+    x = jnp.zeros_like(g)
+    r = g
+    p = r
+    rs = jnp.sum(r * r, axis=-1)
 
-    def polish(_, lam):
-        g = lambda_grad(lam, nu, Ndivzeta, sumtheta, mu, invSigma)
-        w = Ndivzeta * jnp.exp(lam + 0.5 * nu)
-        H = invSigma + w[:, None] * eye + 1e-12 * eye
-        chol = jax.scipy.linalg.cho_factor(H)
-        step = lam + jax.scipy.linalg.cho_solve(chol, g)
-        return jnp.where(jnp.all(jnp.isfinite(step)), step, lam)
+    def body(_, carry):
+        x, r, p, rs = carry
+        Ap = mv(p)
+        alpha = rs / (jnp.sum(p * Ap, axis=-1) + 1e-30)
+        x = x + alpha[..., None] * p
+        r = r - alpha[..., None] * Ap
+        rs_new = jnp.sum(r * r, axis=-1)
+        beta = rs_new / (rs + 1e-30)
+        p = r + beta[..., None] * p
+        return x, r, p, rs_new
 
-    lam = jax.lax.fori_loop(0, n_iter, make_body(_step_scales(lam0.dtype)), lam0)
-    return jax.lax.fori_loop(0, _N_POLISH, polish, lam)
+    x, *_ = jax.lax.fori_loop(0, n_iter, body, (x, r, p, rs))
+    return x
 
 
-@partial(jax.jit, static_argnames=("n_iter",))
-def maximize_lambda(lam0, nu, Ndivzeta, sumtheta, mu, invSigma, n_iter: int = 20):
-    """Batched λ solve: lam0/nu/Ndivzeta/sumtheta are (D, MK); μ, Σ⁻¹ shared.
+@partial(jax.jit, static_argnames=("n_iter", "cg_iter"))
+def maximize_lambda(
+    lam0, nu, Ndivzeta, sumtheta, mu, invSigma, n_iter: int = 20, cg_iter: int = None
+):
+    """Batched λ solve: lam0/nu/Ndivzeta/sumtheta are (B, MK); μ, Σ⁻¹ shared.
 
     Replaces the per-document NLopt loop at src/MMCTM.jl:127-143 /
-    src/IMMCTM.jl:103-121 with one vmapped program over all documents.
+    src/IMMCTM.jl:103-121. Fully batched damped Newton: the Hessian
+    -(Σ⁻¹ + diag(w)) is negative definite, so the Newton direction (obtained
+    by batched CG — see _cg_solve) is always an ascent direction, and the
+    candidate-step argmax keeps every document's iterate monotone.
     """
-    return jax.vmap(
-        lambda l, n, nz, st: _maximize_lambda_one(l, n, nz, st, mu, invSigma, n_iter)
-    )(lam0, nu, Ndivzeta, sumtheta)
+    MK = lam0.shape[-1]
+    if cg_iter is None:
+        cg_iter = MK
+    scales = _step_scales(lam0.dtype)
+    S = scales.shape[0]
+
+    def grad_and_w(lam):
+        w = Ndivzeta * jnp.exp(lam + 0.5 * nu)
+        g = -((lam - mu) @ invSigma) + sumtheta - w
+        return g, w
+
+    def body(_, lam):
+        g, w = grad_and_w(lam)
+        delta = _cg_solve(w, g, invSigma, cg_iter)
+        cand = lam[None] + scales.reshape((S,) + (1,) * lam.ndim) * delta[None]
+        f = _batched_lambda_objective(cand, nu[None], Ndivzeta[None], sumtheta[None], mu, invSigma)
+        f = jnp.where(jnp.isfinite(f), f, -jnp.inf)
+        best = jnp.argmax(f, axis=0)  # (B,)
+        return jnp.take_along_axis(cand, best[None, ..., None], axis=0)[0]
+
+    def polish(_, lam):
+        g, w = grad_and_w(lam)
+        step = lam + _cg_solve(w, g, invSigma, cg_iter)
+        ok = jnp.all(jnp.isfinite(step), axis=-1, keepdims=True)
+        return jnp.where(ok, step, lam)
+
+    lam = jax.lax.fori_loop(0, n_iter, body, lam0)
+    return jax.lax.fori_loop(0, _N_POLISH, polish, lam)
 
 
 # ---------------------------------------------------------------------------

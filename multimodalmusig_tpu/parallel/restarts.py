@@ -1,0 +1,272 @@
+"""Multi-restart fitting as a vmap axis — the TPU-native replacement for the
+reference's `Distributed.pmap` restart fan-out (scripts/run_mmctm.jl:99-161).
+
+The reference fits R=1000 independent MMCTMs on separate Julia worker
+processes, then runs a two-stage protocol:
+  1. `fit_restart`: R random inits, fit!(maxiter=1000, tol=1e-4)
+     (run_mmctm.jl:77-84); `pick_optimal_modality_models` selects, per
+     modality, the restart with the best modality log-likelihood
+     (run_mmctm.jl:86-97, findmax over the (R, M) ll matrix).
+  2. `seed_and_fit_restart`: fresh models with the per-modality-best
+     topic-word posteriors grafted in (γ/Elnϕ/ϕ per modality,
+     run_mmctm.jl:113-134), refit with tol=1e-5; `pick_optimal_model`
+     takes the min mean dense-rank of |ll| across modalities
+     (run_mmctm.jl:136-147).
+
+Here restarts are a leading vmap axis: one compiled program fits every
+restart simultaneously, with per-lane convergence handled by the batched
+while_loop (converged lanes stop changing). Communication between restarts
+is zero during fitting, exactly as in the reference.
+
+Documented divergence: the reference's stage-2 restarts are deterministic
+duplicates — `seed_and_fit_restart` grafts γ/Elnϕ/ϕ for *every* modality
+over the fresh random init (run_mmctm.jl:126-130), and all remaining state
+(λ=0, ν=1, uniform θ, ζ) initializes deterministically, so its R stage-2
+workers compute R identical models and the rank-based pick returns the
+first. We therefore run stage 2 once by default (`stage2_restarts=1`),
+reproducing the reference's result at 1/R the cost; raising
+`stage2_restarts` adds lanes with *fresh-γ* diversity instead of duplicates.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models import mmctm as mmctm_mod
+from ..models.ctm_base import counts_per_doc, make_cavi_carry, run_cavi_from
+from ..models.mmctm import MMCTM, MMCTMConfig, MMCTMFitResult, init_with_alpha
+
+__all__ = [
+    "dense_rank",
+    "pick_optimal_modality_restarts",
+    "pick_optimal_restart",
+    "fit_restarts",
+    "two_stage_fit",
+    "fit_mmctm_restarts",
+]
+
+
+def dense_rank(values: jnp.ndarray) -> jnp.ndarray:
+    """StatsBase.denserank: smallest value gets rank 1, ties share a rank,
+    ranks are consecutive (run_mmctm.jl:143 uses denserank(abs.(ll)))."""
+    s = jnp.sort(values)
+    is_new = jnp.concatenate([jnp.ones((1,), bool), s[1:] != s[:-1]])
+    distinct = jnp.cumsum(is_new)
+    pos = jnp.searchsorted(s, values, side="left")
+    return distinct[pos]
+
+
+def pick_optimal_modality_restarts(ll: jnp.ndarray) -> jnp.ndarray:
+    """(R, M) lls -> (M,) restart index with the best ll per modality
+    (run_mmctm.jl:86-97: findmax along the restart axis)."""
+    return jnp.argmax(ll, axis=0)
+
+
+def pick_optimal_restart(ll: jnp.ndarray) -> jnp.ndarray:
+    """(R, M) lls -> scalar index minimizing the mean dense-rank of |ll|
+    across modalities (run_mmctm.jl:136-147)."""
+    ranks = jax.vmap(dense_rank, in_axes=1, out_axes=1)(jnp.abs(ll))
+    return jnp.argmin(ranks.mean(axis=1))
+
+
+def lane(batched_pytree, i):
+    """Extract restart lane i from a vmapped pytree."""
+    return jax.tree_util.tree_map(lambda x: x[i], batched_pytree)
+
+
+@partial(jax.jit, static_argnames=("config", "maxiter", "tol", "init_method"))
+def fit_restarts_from_keys(
+    keys: jax.Array,
+    X,
+    config: MMCTMConfig,
+    alpha: jnp.ndarray,
+    maxiter: int = 1000,
+    tol: float = 1e-4,
+    init_method: str = "random",
+) -> MMCTMFitResult:
+    """Fit one restart per PRNG key in `keys` (R, ...), vmapped into a single
+    compiled program. Accepts pre-sharded keys so the restart axis can live
+    on a device mesh."""
+    X = tuple(X)
+
+    def one(k):
+        state = init_with_alpha(k, config, X, alpha, init_method)
+        return mmctm_mod.fit(state, X, config, maxiter=maxiter, tol=tol)
+
+    return jax.vmap(one)(keys)
+
+
+@partial(jax.jit, static_argnames=("config", "maxiter", "init_method"))
+def _init_carries(keys, X, config, alpha, maxiter, init_method="random"):
+    def one(k):
+        state = init_with_alpha(k, config, X, alpha, init_method)
+        return make_cavi_carry(state, config, maxiter)
+
+    return jax.vmap(one)(keys)
+
+
+@partial(jax.jit, static_argnames=("config", "maxiter", "tol", "chunk"))
+def _advance_carries(carries, X, config, maxiter, tol, chunk):
+    X = tuple(X)
+    N = counts_per_doc(X)
+    step = mmctm_mod.fit_step_fn(X, N, config)
+
+    def one(carry):
+        return run_cavi_from(carry, maxiter, tol, step, max_new_iters=chunk)
+
+    return jax.vmap(one)(carries)
+
+
+@partial(jax.jit, static_argnames=("config",))
+def _finalize_carries(carries, X, config):
+    X = tuple(X)
+    N = counts_per_doc(X)
+    return jax.vmap(lambda c: mmctm_mod.finalize_fit(c, X, N, config))(carries)
+
+
+def fit_restarts(
+    key: jax.Array,
+    X,
+    config: MMCTMConfig,
+    alpha: jnp.ndarray,
+    restarts: int,
+    maxiter: int = 1000,
+    tol: float = 1e-4,
+    init_method: str = "random",
+    chunk_iters: int = None,
+) -> MMCTMFitResult:
+    """Fit `restarts` independently-initialized MMCTMs in one compiled
+    program (replaces pmap(fit_restart), run_mmctm.jl:99-111). Returns a
+    batched MMCTMFitResult with a leading restart axis.
+
+    `chunk_iters` bounds the CAVI iterations per device execution: the fit
+    becomes a host loop over resumable chunks (identical math/results).
+    Use this for long fits on remote-attached accelerators, where a single
+    execution running for minutes can trip runtime watchdogs.
+    """
+    if chunk_iters is None:
+        return fit_restarts_from_keys(
+            jax.random.split(key, restarts), X, config, alpha,
+            maxiter=maxiter, tol=tol, init_method=init_method,
+        )
+    X = tuple(X)
+    keys = jax.random.split(key, restarts)
+    carries = _init_carries(keys, X, config, alpha, maxiter, init_method)
+    while True:
+        carries = _advance_carries(carries, X, config, maxiter, tol, chunk_iters)
+        it = np.asarray(carries[2])
+        done = np.asarray(carries[3]) | (it >= maxiter)
+        if done.all():
+            break
+    return _finalize_carries(carries, X, config)
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "config",
+        "restarts",
+        "stage2_restarts",
+        "maxiter",
+        "stage1_tol",
+        "stage2_tol",
+        "init_method",
+    ),
+)
+def two_stage_fit(
+    key: jax.Array,
+    X,
+    config: MMCTMConfig,
+    alpha: jnp.ndarray,
+    restarts: int,
+    stage2_restarts: int = 1,
+    maxiter: int = 1000,
+    stage1_tol: float = 1e-4,
+    stage2_tol: float = 1e-5,
+    init_method: str = "random",
+):
+    """The CLI's full two-stage protocol (run_mmctm.jl:163-180) as one
+    compiled program. Returns (best stage-2 result (unbatched), stage-1
+    batched result, stage-2 batched result, best index)."""
+    X = tuple(X)
+    k1, k2 = jax.random.split(key)
+
+    stage1 = fit_restarts(
+        key=k1, X=X, config=config, alpha=alpha, restarts=restarts,
+        maxiter=maxiter, tol=stage1_tol, init_method=init_method,
+    )
+    best_m = pick_optimal_modality_restarts(stage1.ll)  # (M,)
+
+    # Graft the per-modality-best topic-word posteriors (run_mmctm.jl:126-130)
+    grafted_gamma = tuple(
+        stage1.state.gamma[m][best_m[m]] for m in range(config.M)
+    )
+    grafted_Elnphi = tuple(
+        stage1.state.Elnphi[m][best_m[m]] for m in range(config.M)
+    )
+
+    keys2 = jax.random.split(k2, stage2_restarts)
+
+    def stage2_one(k):
+        state = init_with_alpha(k, config, X, alpha, init_method)
+        state = state._replace(gamma=grafted_gamma, Elnphi=grafted_Elnphi)
+        return mmctm_mod.fit(state, X, config, maxiter=maxiter, tol=stage2_tol)
+
+    stage2 = jax.vmap(stage2_one)(keys2)
+    best = pick_optimal_restart(stage2.ll)
+    return lane(stage2, best), stage1, stage2, best
+
+
+def fit_mmctm_restarts(
+    k: Sequence[int],
+    alpha: Sequence[float],
+    X,
+    V: Optional[Sequence[int]] = None,
+    restarts: int = 100,
+    stage2_restarts: int = 1,
+    maxiter: int = 1000,
+    stage1_tol: float = 1e-4,
+    stage2_tol: float = 1e-5,
+    seed: int = 147959412,
+    dtype=None,
+    verbose: bool = False,
+) -> MMCTM:
+    """High-level entry mirroring the CLI's `fit_model` (run_mmctm.jl:163-180):
+    multi-restart two-stage MMCTM fitting, returning the selected model as a
+    fitted MMCTM wrapper (with `ll_history` attached)."""
+    args = (list(k), list(alpha)) + (() if V is None else (list(V),)) + (X,)
+    model = MMCTM(*args, dtype=dtype)
+    best, stage1, stage2, best_idx = two_stage_fit(
+        jax.random.key(seed),
+        model.Xdense,
+        model.config,
+        jnp.asarray([float(a) for a in alpha], model.config.dtype),
+        restarts=restarts,
+        stage2_restarts=stage2_restarts,
+        maxiter=maxiter,
+        stage1_tol=stage1_tol,
+        stage2_tol=stage2_tol,
+    )
+    if verbose:
+        best_m = np.asarray(pick_optimal_modality_restarts(stage1.ll))
+        print("Modality optimal model log-likelihoods:")
+        for m in range(model.config.M):
+            print(f"{m + 1}: {np.asarray(stage1.ll)[best_m[m]]}")
+        print("Seeded model log-likelihoods:")
+        print(np.asarray(best.ll))
+    model.state = best.state
+    model.converged = bool(best.converged)
+    model.elbo = float(best.elbo)
+    model.ll = list(np.asarray(best.ll, dtype=np.float64))
+    n = int(best.n_iters)
+    model.ll_history = [
+        list(row) for row in np.asarray(best.ll_history[:n], dtype=np.float64)
+    ]
+    model.stage1_ll = np.asarray(stage1.ll, dtype=np.float64)
+    return model

@@ -1,0 +1,159 @@
+"""Device-mesh sharding for restart- and data-parallel fitting.
+
+The reference has no in-library parallelism at all (SURVEY.md §2.8): its only
+fan-out is `Distributed.pmap` over restarts in the CLI script, with zero
+communication during fitting. The TPU-native equivalents here:
+
+  * restart-parallel (the pmap analogue): restarts are a vmap axis; sharding
+    that axis over the mesh runs lanes on different chips with zero
+    communication — same semantics as the reference's process fan-out.
+  * data-parallel (new capability): documents shard over a mesh axis; the
+    M-step sufficient statistics (γ scatter-adds, μ/Σ sums —
+    src/MMCTM.jl:200-242) are einsum reductions over D, so GSPMD inserts the
+    psum/all-reduce across the data axis automatically. This is what scales
+    a single fit to PCAWG-sized cohorts.
+
+Everything goes through `jax.jit` + `NamedSharding` input constraints — XLA
+chooses the collectives; no hand-written communication.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..models import mmctm as mmctm_mod
+from ..models.mmctm import MMCTMConfig, init_with_alpha
+from . import restarts as restarts_mod
+
+__all__ = ["make_mesh", "sharded_fit_restarts", "sharded_data_parallel_fit", "dryrun_multichip"]
+
+
+def make_mesh(
+    n_restart: int, n_data: int, devices: Optional[Sequence] = None
+) -> Mesh:
+    """A ("restart", "data") mesh over the given (or all) devices."""
+    devices = np.asarray(devices if devices is not None else jax.devices())
+    if devices.size < n_restart * n_data:
+        raise ValueError(
+            f"need {n_restart * n_data} devices, have {devices.size}"
+        )
+    grid = devices[: n_restart * n_data].reshape(n_restart, n_data)
+    return Mesh(grid, axis_names=("restart", "data"))
+
+
+def sharded_fit_restarts(
+    mesh: Mesh,
+    key: jax.Array,
+    X,
+    config: MMCTMConfig,
+    alpha: jnp.ndarray,
+    restarts: int,
+    maxiter: int = 1000,
+    tol: float = 1e-4,
+):
+    """fit_restarts with the restart axis sharded over mesh axis "restart"
+    and documents sharded over "data". Lane fits are communication-free
+    across restarts; within a lane, D-reductions all-reduce over "data"."""
+    keys = jax.random.split(key, restarts)
+    keys = jax.device_put(keys, NamedSharding(mesh, P("restart")))
+    X = tuple(
+        jax.device_put(Xm, NamedSharding(mesh, P("data", None))) for Xm in X
+    )
+    return restarts_mod.fit_restarts_from_keys(
+        keys, X, config, alpha, maxiter=maxiter, tol=tol
+    )
+
+
+def sharded_data_parallel_fit(
+    mesh: Mesh,
+    state,
+    X,
+    config: MMCTMConfig,
+    maxiter: int = 100,
+    tol: float = 1e-4,
+):
+    """Single-model fit with documents sharded across the full mesh.
+
+    Document-side state (λ/ν/ζ/θ — leading axis D) shards over "data";
+    global state (μ/Σ/γ) replicates. XLA turns the M-step's D-reductions
+    into all-reduces over the data axis.
+    """
+    flat_devices = mesh.devices.reshape(-1)
+    data_mesh = Mesh(flat_devices, axis_names=("data",))
+    dshard = NamedSharding(data_mesh, P("data"))
+    replicated = NamedSharding(data_mesh, P())
+
+    X = tuple(jax.device_put(Xm, NamedSharding(data_mesh, P("data", None))) for Xm in X)
+    state = state._replace(
+        lam=jax.device_put(state.lam, NamedSharding(data_mesh, P("data", None))),
+        nu=jax.device_put(state.nu, NamedSharding(data_mesh, P("data", None))),
+        zeta=jax.device_put(state.zeta, NamedSharding(data_mesh, P("data", None))),
+        theta=tuple(
+            jax.device_put(t, NamedSharding(data_mesh, P("data", None, None)))
+            for t in state.theta
+        ),
+        mu=jax.device_put(state.mu, replicated),
+        Sigma=jax.device_put(state.Sigma, replicated),
+        invSigma=jax.device_put(state.invSigma, replicated),
+        gamma=tuple(jax.device_put(g, replicated) for g in state.gamma),
+        Elnphi=tuple(jax.device_put(g, replicated) for g in state.Elnphi),
+        alpha=jax.device_put(state.alpha, replicated),
+    )
+    return jax.jit(
+        mmctm_mod.fit, static_argnames=("config", "maxiter", "tol")
+    )(state, X, config, maxiter=maxiter, tol=tol)
+
+
+def dryrun_multichip(n_devices: int) -> None:
+    """Driver hook: build an n-device mesh, jit the FULL MMCTM training
+    step with real restart+data shardings, and run one step on tiny shapes.
+
+    Exercises both parallel axes this model family has (SURVEY.md §2.8):
+    restart-parallel (the reference's only fan-out) and data-parallel with
+    XLA-inserted all-reduces for the M-step.
+    """
+    devices = jax.devices()
+    if len(devices) < n_devices:
+        # the axon TPU platform can stay default even under JAX_PLATFORMS=cpu;
+        # fall back to the virtual CPU mesh explicitly
+        devices = jax.devices("cpu")
+    devices = devices[:n_devices]
+    n_restart = 2 if n_devices % 2 == 0 and n_devices >= 2 else 1
+    n_data = n_devices // n_restart
+    mesh = make_mesh(n_restart, n_data, devices)
+
+    # tiny flagship-shaped problem: 2 modalities, K=[2,2], 8 docs
+    config = MMCTMConfig(K=(2, 2), V=(6, 4), D=8, dtype=jnp.float32)
+    rng = np.random.default_rng(0)
+    X = tuple(
+        jnp.asarray(rng.integers(0, 5, size=(config.D, V)), jnp.float32)
+        for V in config.V
+    )
+    alpha = jnp.asarray([0.1, 0.1], jnp.float32)
+    R = 2 * n_restart
+
+    keys = jax.random.split(jax.random.key(0), R)
+    keys = jax.device_put(keys, NamedSharding(mesh, P("restart")))
+    Xs = tuple(jax.device_put(Xm, NamedSharding(mesh, P("data", None))) for Xm in X)
+
+    def training_step(keys, X):
+        def one(k):
+            state = init_with_alpha(k, config, X, alpha)
+            return mmctm_mod.fit(state, X, config, maxiter=1, tol=1e-4)
+
+        return jax.vmap(one)(keys)
+
+    result = jax.jit(training_step)(keys, Xs)
+    ll = np.asarray(result.ll)
+    assert ll.shape == (R, 2), ll.shape
+    assert np.all(np.isfinite(ll)), ll
+
+    # data-parallel single fit over the full mesh
+    state = init_with_alpha(jax.random.key(1), config, X, alpha)
+    result2 = sharded_data_parallel_fit(mesh, state, X, config, maxiter=1)
+    assert np.all(np.isfinite(np.asarray(result2.ll)))
