@@ -270,3 +270,102 @@ def fit_mmctm_restarts(
     ]
     model.stage1_ll = np.asarray(stage1.ll, dtype=np.float64)
     return model
+
+
+# ---------------------------------------------------------------------------
+# Restart fitting for the other model families (capability extensions: the
+# reference only orchestrates MMCTM restarts; LDA/ILDA/IMMCTM users get the
+# same pick-best-of-N escape from local optima)
+# ---------------------------------------------------------------------------
+
+
+def fit_lda_restarts(
+    k, alpha, eta, X, V=None, restarts: int = 100, maxiter: int = 1000,
+    tol: float = 1e-4, seed: int = 147959412, dtype=None,
+):
+    """Best-of-N LDA fitting: vmapped restarts, argmax final log-likelihood."""
+    from ..models import lda as lda_mod
+    from ..models.lda import LDA
+
+    args = (k, alpha, eta) + (() if V is None else (V,)) + (X,)
+    model = LDA(*args, dtype=dtype)
+    cfg, Xd = model.config, model.Xdense
+
+    @partial(jax.jit, static_argnames=())
+    def run(keys):
+        def one(key):
+            return lda_mod.fit(lda_mod.init(key, cfg), Xd, cfg, maxiter=maxiter, tol=tol)
+
+        return jax.vmap(one)(keys)
+
+    result = run(jax.random.split(jax.random.key(seed), restarts))
+    best = int(jnp.argmax(result.ll))
+    sel = lane(result, best)
+    model.state = sel.state
+    model.converged = bool(sel.converged)
+    model.elbo = float(sel.elbo)
+    model.ll = float(sel.ll)
+    return model
+
+
+def fit_ilda_restarts(
+    k, alpha, eta, features, X, restarts: int = 100, maxiter: int = 1000,
+    tol: float = 1e-4, seed: int = 147959412, dtype=None,
+):
+    """Best-of-N ILDA fitting: vmapped restarts, argmax final log-likelihood."""
+    from ..models import ilda as ilda_mod
+    from ..models.ilda import ILDA
+
+    model = ILDA(k, alpha, eta, features, X, dtype=dtype)
+    cfg, Xd, F = model.config, model.Xdense, model.F
+
+    @jax.jit
+    def run(keys):
+        def one(key):
+            return ilda_mod.fit(
+                ilda_mod.init(key, cfg), Xd, F, cfg, maxiter=maxiter, tol=tol
+            )
+
+        return jax.vmap(one)(keys)
+
+    result = run(jax.random.split(jax.random.key(seed), restarts))
+    best = int(jnp.argmax(result.ll))
+    sel = lane(result, best)
+    model.state = sel.state
+    model.converged = bool(sel.converged)
+    model.elbo = float(sel.elbo)
+    model.ll = float(sel.ll)
+    return model
+
+
+def fit_immctm_restarts(
+    k, alpha, features, X, restarts: int = 100, maxiter: int = 1000,
+    tol: float = 1e-4, seed: int = 147959412, dtype=None,
+):
+    """Best-of-N IMMCTM fitting: vmapped restarts; selection by min mean
+    dense-rank of |ll| across modalities (the MMCTM CLI's criterion,
+    run_mmctm.jl:136-147)."""
+    from ..models import immctm as immctm_mod
+    from ..models.immctm import IMMCTM
+
+    model = IMMCTM(k, alpha, features, X, dtype=dtype)
+    cfg, Xd, F = model.config, model.Xdense, model.F
+    alpha_full = model.state.alpha
+
+    @jax.jit
+    def run(keys):
+        def one(key):
+            state = immctm_mod.init(key, cfg, [np.zeros(i) for i in cfg.I])
+            state = state._replace(alpha=alpha_full)
+            return immctm_mod.fit(state, Xd, F, cfg, maxiter=maxiter, tol=tol)
+
+        return jax.vmap(one)(keys)
+
+    result = run(jax.random.split(jax.random.key(seed), restarts))
+    best = int(pick_optimal_restart(result.ll))
+    sel = lane(result, best)
+    model.state = sel.state
+    model.converged = bool(sel.converged)
+    model.elbo = float(sel.elbo)
+    model.ll = list(np.asarray(sel.ll, dtype=np.float64))
+    return model

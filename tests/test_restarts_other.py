@@ -1,0 +1,62 @@
+"""Restart APIs for LDA/ILDA/IMMCTM and profiling utilities."""
+
+import numpy as np
+import pytest
+
+from multimodalmusig_tpu.parallel.restarts import (
+    fit_ilda_restarts,
+    fit_immctm_restarts,
+    fit_lda_restarts,
+)
+from multimodalmusig_tpu.utils.profiling import Timer, check_finite, debug_nans
+
+FEATURES = np.array([[1, 1], [1, 2], [2, 1], [2, 2]])
+
+
+def test_lda_restarts_picks_best(lda_fixture):
+    model = fit_lda_restarts(
+        lda_fixture["K"], lda_fixture["alpha"], lda_fixture["eta"], lda_fixture["X"],
+        restarts=4, maxiter=30,
+    )
+    assert np.isfinite(model.ll)
+    assert np.isfinite(model.elbo)
+
+
+def test_ilda_restarts(lda_fixture):
+    model = fit_ilda_restarts(
+        2, 0.1, 0.1, FEATURES, lda_fixture["X"], restarts=3, maxiter=20
+    )
+    assert np.isfinite(model.ll)
+
+
+def test_immctm_restarts(mmctm_fixture):
+    model = fit_immctm_restarts(
+        mmctm_fixture["K"], mmctm_fixture["alpha"], [FEATURES, FEATURES],
+        mmctm_fixture["X"], restarts=3, maxiter=15,
+    )
+    assert np.all(np.isfinite(model.ll))
+
+
+def test_check_finite_passes_and_raises(mmctm_fixture):
+    from multimodalmusig_tpu.models.mmctm import MMCTM
+
+    model = MMCTM(mmctm_fixture["K"], mmctm_fixture["alpha"], mmctm_fixture["X"])
+    check_finite(model.state)  # fresh state is finite
+    bad = model.state._replace(mu=model.state.mu.at[0].set(np.nan))
+    with pytest.raises(FloatingPointError, match="mu"):
+        check_finite(bad)
+
+
+def test_timer():
+    with Timer() as t:
+        sum(range(1000))
+    assert t.elapsed >= 0
+
+
+def test_debug_nans_context():
+    import jax
+
+    before = jax.config.jax_debug_nans
+    with debug_nans(True):
+        assert jax.config.jax_debug_nans
+    assert jax.config.jax_debug_nans == before
