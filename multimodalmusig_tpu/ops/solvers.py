@@ -152,6 +152,11 @@ def maximize_lambda(
         g = -((lam - mu) @ invSigma) + sumtheta - w
         return g, w
 
+    # NOTE: a batch-max-gradient early exit was tried here and removed — under
+    # vmap (100 restarts x 560 docs) the while_loop condition lifts to
+    # "any lane unconverged", so no iterations are saved, and the looser
+    # intermediate solves cost extra outer CAVI iterations (measured: 50.5s
+    # vs 29.9s for the 100-restart BRCA benchmark). Fixed-count fori_loop it is.
     def body(_, lam):
         g, w = grad_and_w(lam)
         delta = _cg_solve(w, g, invSigma, cg_iter)
@@ -198,39 +203,41 @@ def nu_grad(nu, lam, Ndivzeta, invSigma_diag):
 
 
 @partial(jax.jit, static_argnames=("n_iter",))
-def maximize_nu(nu0, lam, Ndivzeta, invSigma_diag, n_iter: int = 25):
-    """Elementwise Newton on the separable ν-objective; any batch shape.
+def maximize_nu(nu0, lam, Ndivzeta, invSigma_diag, n_iter: int = 8):
+    """Elementwise ν maximization; any batch shape, all args broadcast.
 
-    All arguments broadcast elementwise ((D, MK) in MMCTM). Replaces the
-    MK-dimensional NLopt solve at src/MMCTM.jl:156-170 with scalar Newton
-    per coordinate — mathematically identical optimum, massively parallel.
+    Replaces the MK-dimensional NLopt solve at src/MMCTM.jl:156-170. The
+    stationarity condition -a - (b/2)e^{ν/2} + 1/(2ν) = 0 (a = ½Σ⁻¹ᵢᵢ,
+    b = Ndivζ·e^λ) rearranges to the fixed point ν = 1/(2a + b·e^{ν/2}),
+    whose iteration map is a contraction with rate ≈ ν*/2 near the root
+    (|g'(ν*)| = (b/2)e^{ν*/2}·ν*² ≤ ν*/2 because b·e^{ν*/2} ≤ 1/ν* at the
+    root). A few fixed-point sweeps land in the quadratic basin, then pure
+    Newton polishes to machine precision — ~10x fewer elementwise ops than
+    a line-searched Newton loop, which matters because this runs once per
+    document per CAVI iteration.
     """
-    def make_body(scales):
-        def body(_, nu):
-            g = nu_grad(nu, lam, Ndivzeta, invSigma_diag)
-            Eeta = jnp.exp(lam + 0.5 * nu)
-            hess = -0.25 * Ndivzeta * Eeta - 0.5 / (nu * nu)  # always < 0
-            delta = -g / hess
-            # Candidate steps per coordinate, clipped to the ν >= 1e-7 bound.
-            cand = jnp.clip(
-                nu[None] + scales.reshape((-1,) + (1,) * nu.ndim) * delta[None],
-                NU_LOWER_BOUND,
-            )
-            fvals = nu_objective_terms(cand, lam[None], Ndivzeta[None], invSigma_diag[None])
-            fvals = jnp.where(jnp.isfinite(fvals), fvals, -jnp.inf)
-            best = jnp.argmax(fvals, axis=0)
-            return jnp.take_along_axis(cand, best[None], axis=0)[0]
+    a = 0.5 * invSigma_diag
+    b = Ndivzeta * jnp.exp(lam)
 
-        return body
+    def wexp(nu):
+        # b·e^{ν/2} with overflow guard (and exact 0 when b == 0, i.e. N=0)
+        return jnp.where(b > 0, b * jnp.exp(jnp.minimum(0.5 * nu, 60.0)), 0.0)
+
+    def fp(_, nu):
+        return jnp.clip(1.0 / (2.0 * a + wexp(nu)), NU_LOWER_BOUND)
 
     def polish(_, nu):
-        g = nu_grad(nu, lam, Ndivzeta, invSigma_diag)
-        Eeta = jnp.exp(lam + 0.5 * nu)
-        hess = -0.25 * Ndivzeta * Eeta - 0.5 / (nu * nu)
+        w = wexp(nu)
+        g = -a - 0.5 * w + 0.5 / nu
+        hess = -0.25 * w - 0.5 / (nu * nu)  # always < 0
         step = jnp.clip(nu - g / hess, NU_LOWER_BOUND)
         return jnp.where(jnp.isfinite(step), step, nu)
 
-    nu = jax.lax.fori_loop(0, n_iter, make_body(_step_scales(nu0.dtype)), nu0)
+    shape = jnp.broadcast_shapes(
+        jnp.shape(nu0), jnp.shape(lam), jnp.shape(Ndivzeta), jnp.shape(invSigma_diag)
+    )
+    nu = jnp.broadcast_to(jnp.asarray(nu0), shape)
+    nu = jax.lax.fori_loop(0, n_iter, fp, nu)
     return jax.lax.fori_loop(0, _N_POLISH, polish, nu)
 
 

@@ -158,13 +158,40 @@ def fit_restarts(
     X = tuple(X)
     keys = jax.random.split(key, restarts)
     carries = _init_carries(keys, X, config, alpha, maxiter, init_method)
+
+    # Host loop with LANE COMPACTION. A vmapped while_loop computes every
+    # lane until the slowest lane finishes, so straggler restarts would make
+    # all R lanes pay for up to maxiter iterations. Between chunks we pull
+    # finished lanes out and re-pack the still-running ones into the next
+    # power-of-two batch (padding by duplicating lane 0 — duplicates compute
+    # identical trajectories, so their results overwrite harmlessly). Total
+    # work drops from R x slowest to roughly the sum of per-lane iterations.
+    order = np.arange(restarts)
+    done_store = [None] * restarts
     while True:
         carries = _advance_carries(carries, X, config, maxiter, tol, chunk_iters)
         it = np.asarray(carries[2])
         done = np.asarray(carries[3]) | (it >= maxiter)
-        if done.all():
+        done_pos = np.nonzero(done)[0]
+        if len(done_pos) > 0:
+            idx = jnp.asarray(done_pos)
+            finished = jax.tree_util.tree_map(lambda x: np.asarray(x[idx]), carries)
+            for j, pos in enumerate(done_pos):
+                done_store[order[pos]] = jax.tree_util.tree_map(
+                    lambda x: x[j], finished
+                )
+        active_pos = np.nonzero(~done)[0]
+        if len(active_pos) == 0:
             break
-    return _finalize_carries(carries, X, config)
+        A = len(active_pos)
+        bucket = 1 << (A - 1).bit_length()
+        pad = np.concatenate([active_pos, np.repeat(active_pos[:1], bucket - A)])
+        order = order[pad]
+        idx = jnp.asarray(pad)
+        carries = jax.tree_util.tree_map(lambda x: x[idx], carries)
+
+    final = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *done_store)
+    return _finalize_carries(final, X, config)
 
 
 @partial(
