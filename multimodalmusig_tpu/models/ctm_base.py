@@ -101,8 +101,22 @@ def solve_nu(nu, lam, Ndivzeta, invSigma):
     return maximize_nu(nu, lam, Ndivzeta, jnp.diagonal(invSigma)[None, :])
 
 
+def _use_fused_lambda() -> bool:
+    """Opt-in switch for the fused Pallas λ kernel (MUSIG_PALLAS=1).
+
+    Off by default: the fused kernel requires a real TPU backend (the pure
+    jnp path runs everywhere), and tests pin execution to CPU."""
+    import os
+
+    return os.environ.get("MUSIG_PALLAS", "0") == "1"
+
+
 def solve_lambda(lam, nu, Ndivzeta, sumtheta, mu, invSigma):
     """Batched λ maximization (replaces NLopt at src/MMCTM.jl:127-143)."""
+    if _use_fused_lambda() and lam.shape[-1] <= 128:
+        from ..ops.pallas.lambda_kernel import maximize_lambda_fused
+
+        return maximize_lambda_fused(lam, nu, Ndivzeta, sumtheta, mu, invSigma)
     return maximize_lambda(lam, nu, Ndivzeta, sumtheta, mu, invSigma)
 
 
