@@ -33,15 +33,15 @@ MAXITER = 1000
 
 
 def load_counts():
+    from multimodalmusig_tpu.utils.fast_tsv import read_counts_tsv
+
     data_dir = "/root/reference/data"
     if not os.path.isdir(data_dir):
         data_dir = os.path.join(os.path.dirname(__file__), "data")
     rows = []
     for fname in ("brca-eu_snv_counts.tsv", "brca-eu_sv_counts.tsv"):
-        with open(os.path.join(data_dir, fname)) as f:
-            header = f.readline().rstrip("\n").split("\t")
-            mat = np.loadtxt(f, delimiter="\t", usecols=range(1, len(header)))
-        rows.append(mat.T)  # (D, V)
+        counts, _, _ = read_counts_tsv(os.path.join(data_dir, fname))
+        rows.append(counts.T)  # (D, V)
     return rows
 
 

@@ -77,17 +77,23 @@ def main(argv=None) -> int:
         print("Number of modality labels must match the number of K values.", file=sys.stderr)
         return 1
 
-    import pandas as pd
+    import numpy as np
 
     from .parallel.restarts import fit_mmctm_restarts
     from .utils import io as io_mod
-    from .utils.formatting import format_counts_mmctm
+    from .utils.fast_tsv import read_counts_tsv
+    from .utils.formatting import make_count_matrix
 
-    countdfs = [pd.read_csv(f, sep="\t") for f in args.counts]
-    samples = [c for c in countdfs[0].columns if c != "term"]
-    counts = format_counts_mmctm(countdfs, samples)
+    loaded = [read_counts_tsv(f) for f in args.counts]  # (counts (V,D), terms, samples)
+    samples = loaded[0][2]
+    terms = [t for _, t, _ in loaded]
+    # X[doc][modality] in the reference's sparse (index, count) form
+    counts = [
+        [make_count_matrix(mat[:, d]) for mat, _, _ in loaded]
+        for d in range(len(samples))
+    ]
     alpha = [args.alpha] * len(args.k)
-    V = [df.shape[0] for df in countdfs]
+    V = [mat.shape[0] for mat, _, _ in loaded]
 
     model = fit_mmctm_restarts(
         args.k,
@@ -112,7 +118,6 @@ def main(argv=None) -> int:
     if args.cor:
         io_mod.write_cor(args.cor, model)
     if args.sigs:
-        terms = [list(df["term"]) for df in countdfs]
         io_mod.write_sigs(args.sigs, model, terms, args.modalities)
     if args.props:
         io_mod.write_props(args.props, model, samples, args.modalities)

@@ -2,20 +2,26 @@
 
 The λ maximization (replacing NLopt LD_MMA, src/MMCTM.jl:127-143) is the hot
 op of MMCTM fitting: ~25 damped-Newton iterations per document per CAVI
-iteration, each built from ~100 small elementwise/matmul ops on (B, MK)
-tensors. As an XLA op graph every one of those ops round-trips HBM; fused in
-a Pallas kernel the whole solve runs out of VMEM — per document tile, the
-inputs are read from HBM exactly once and the result written once.
+iteration, each built from dozens of small ops on (B, MK) tensors. As an XLA
+op graph every op round-trips HBM and pays dispatch latency; fused in a
+Pallas kernel the whole solve runs out of VMEM — per document tile, inputs
+are read from HBM exactly once and the result written once.
 
-Layout: MK (= total topics, ~14 for the flagship) is padded to the 128-lane
-TPU tile; padded lanes are constructed to be exact no-ops (identity rows in
-Σ⁻¹, zero Ndivζ/sumθ, ν=1, λ=μ=0 ⇒ zero gradient, zero Newton step). The
-per-document axis tiles across the grid. Matvecs with the shared Σ⁻¹ hit the
-MXU as (TILE_B, 128) @ (128, 128) matmuls; everything else is VPU.
+Layout (the part that matters on TPU): documents ride the 128-wide lane
+axis and the MK topic axis pads only to the 8-sublane granule, i.e. blocks
+are (MK_pad, TILE_B). A (B, 128-padded-MK) layout was tried first and wasted
+9x the VPU work on dead lanes (MK ~ 14). Matvecs with the shared Σ⁻¹ are
+(MK_pad, MK_pad) @ (MK_pad, TILE_B) MXU matmuls; reductions over topics are
+cross-sublane sums.
 
-The math is identical to ops.solvers.maximize_lambda (fixed-count damped
-Newton with candidate line search + CG inner solves); equality is enforced
-by tests (interpret mode on CPU, compiled on TPU).
+Line-search algebra (shared with ops.solvers.maximize_lambda): candidates
+λ + sδ need no extra matvecs (the quadratic form expands in s) and no extra
+exponentials (exp(sδ) for the halving/doubling scale ladder is a
+squaring/sqrt chain of one exp(δ)); each Newton iteration computes exactly
+two exponentials.
+
+Padded topic rows are exact no-ops: identity rows in Σ⁻¹, zero Ndivζ/sumθ,
+ν=1, λ=μ=0 ⇒ zero gradient ⇒ zero Newton step.
 """
 
 from __future__ import annotations
@@ -28,59 +34,48 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["maximize_lambda_fused", "PALLAS_LANE"]
+__all__ = ["maximize_lambda_fused", "PALLAS_MAX_MK"]
 
-PALLAS_LANE = 128  # TPU lane width; MK is padded to this
+PALLAS_MAX_MK = 128
 
-# Keep in sync with ops.solvers._step_scales / _N_POLISH
-_OVER_STEPS = (8.0, 4.0, 2.0)
+# Keep in sync with ops.solvers: scale ladder 8,4,2,1,...,2^-12 and polish 4
+_N_OVER = 3
 _N_BACKTRACK = 13
 _N_POLISH = 4
 
 
-def _scales() -> tuple:
-    # Python floats (weakly typed) so x64 mode can't promote the f32 carry
-    return tuple(_OVER_STEPS) + tuple(float(2.0**-i) for i in range(_N_BACKTRACK)) + (0.0,)
-
-
-def _lambda_kernel(scales_ref, lam_ref, nu_ref, ndz_ref, st_ref, mu_ref,
-                   invS_ref, out_ref, *, n_iter: int, cg_iter: int):
-    lam = lam_ref[:]          # (TB, 128)
+def _lambda_kernel(lam_ref, nu_ref, ndz_ref, st_ref, mu_ref, invS_ref, out_ref,
+                   *, n_iter: int, cg_iter: int):
+    lam = lam_ref[:]          # (MKP, TB)
     nu = nu_ref[:]
     ndz = ndz_ref[:]
     st = st_ref[:]
-    mu = mu_ref[:]            # (1, 128)
-    invS = invS_ref[:]        # (128, 128)
-    n_scales = scales_ref.shape[1]
+    mu = mu_ref[:]            # (MKP, 128): column 0 holds μ
+    invS = invS_ref[:]        # (MKP, MKP)
+    mu_col = mu[:, 0:1]
 
     def matS(v):
-        return jnp.dot(v, invS, preferred_element_type=jnp.float32)
+        return jax.lax.dot_general(
+            invS, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
 
-    def objective(l):
-        diff = l - mu
-        quad = -0.5 * jnp.sum(diff * matS(diff), axis=-1, keepdims=True)
-        Eeta = jnp.exp(l + 0.5 * nu)
-        return quad + jnp.sum(l * st - ndz * Eeta, axis=-1, keepdims=True)
-
-    def grad_and_w(l):
-        w = ndz * jnp.exp(l + 0.5 * nu)
-        g = -matS(l - mu) + st - w
-        return g, w
+    def rowsum(x):
+        return jnp.sum(x, axis=0, keepdims=True)  # (1, TB)
 
     def cg(w, g):
-        # (Σ⁻¹ + diag(w)) δ = g by CG; matvec = MXU matmul + elementwise
+        # (Σ⁻¹ + diag(w)) δ = g; matvec = MXU matmul + elementwise
         x = jnp.zeros_like(g)
         r = g
         p = r
-        rs = jnp.sum(r * r, axis=-1, keepdims=True)
+        rs = rowsum(r * r)
 
         def body(_, carry):
             x, r, p, rs = carry
             Ap = matS(p) + w * p
-            alpha = rs / (jnp.sum(p * Ap, axis=-1, keepdims=True) + 1e-30)
+            alpha = rs / (rowsum(p * Ap) + 1e-30)
             x = x + alpha * p
             r = r - alpha * Ap
-            rs_new = jnp.sum(r * r, axis=-1, keepdims=True)
+            rs_new = rowsum(r * r)
             beta = rs_new / (rs + 1e-30)
             p = r + beta * p
             return x, r, p, rs_new
@@ -89,27 +84,49 @@ def _lambda_kernel(scales_ref, lam_ref, nu_ref, ndz_ref, st_ref, mu_ref,
         return x
 
     def newton(_, lam):
-        g, w = grad_and_w(lam)
+        Eeta = jnp.exp(lam + 0.5 * nu)
+        w = ndz * Eeta
+        diff = lam - mu_col
+        Sdiff = matS(diff)
+        g = -Sdiff + st - w
         delta = cg(w, g)
 
-        # candidate line search as a bounded loop (an unrolled version blew
-        # up Mosaic compile time); scale 0 / the current point is the fallback
-        def ls_body(s_idx, carry):
-            best_f, best_lam = carry
-            c = lam + scales_ref[0, s_idx] * delta
-            f = objective(c)
-            ok = jnp.isfinite(f) & (f > best_f)
-            return jnp.where(ok, f, best_f), jnp.where(ok, c, best_lam)
+        Sdelta = matS(delta)
+        q0 = rowsum(diff * Sdiff)
+        b = rowsum(delta * Sdiff)
+        c2 = rowsum(delta * Sdelta)
+        lin0 = rowsum(lam * st)
+        lind = rowsum(delta * st)
+        f0 = -0.5 * q0 + lin0 - rowsum(w)  # s = 0 fallback
 
-        _, best_lam = jax.lax.fori_loop(
-            0, n_scales, ls_body, (objective(lam), lam)
-        )
-        return best_lam
+        e1 = jnp.exp(delta)
+        e2 = e1 * e1
+        e4 = e2 * e2
+        e8 = e4 * e4
+
+        def f_of(s, e_s):
+            quad = -0.5 * (q0 + 2.0 * s * b + s * s * c2)
+            return quad + lin0 + s * lind - rowsum(w * e_s)
+
+        best_s = jnp.zeros_like(f0)
+        best_f = f0
+        e_s = e8
+        s = 8.0
+        for _ in range(_N_OVER + _N_BACKTRACK):
+            f = f_of(s, e_s)
+            ok = jnp.isfinite(f) & (f > best_f)
+            best_f = jnp.where(ok, f, best_f)
+            best_s = jnp.where(ok, s, best_s)
+            e_s = jnp.sqrt(e_s)
+            s = s / 2.0
+
+        return lam + best_s * delta
 
     def polish(_, lam):
-        g, w = grad_and_w(lam)
+        w = ndz * jnp.exp(lam + 0.5 * nu)
+        g = -matS(lam - mu_col) + st - w
         step = lam + cg(w, g)
-        ok = jnp.all(jnp.isfinite(step), axis=-1, keepdims=True)
+        ok = rowsum(jnp.where(jnp.isfinite(step), 0.0, 1.0)) == 0.0
         return jnp.where(ok, step, lam)
 
     lam = jax.lax.fori_loop(0, n_iter, newton, lam)
@@ -122,61 +139,56 @@ def _lambda_kernel(scales_ref, lam_ref, nu_ref, ndz_ref, st_ref, mu_ref,
 )
 def maximize_lambda_fused(
     lam0, nu, Ndivzeta, sumtheta, mu, invSigma,
-    n_iter: int = 20, cg_iter: int = None, tile_b: int = 1024,
+    n_iter: int = 20, cg_iter: int = None, tile_b: int = 2048,
     interpret: bool = False,
 ):
     """Drop-in fused equivalent of ops.solvers.maximize_lambda.
 
     lam0/nu/Ndivzeta/sumtheta: (B, MK); mu: (MK,); invSigma: (MK, MK).
-    Requires MK <= 128 (pads to the TPU lane width).
+    Requires MK <= 128.
     """
     B, MK = lam0.shape
-    if MK > PALLAS_LANE:
-        raise ValueError(f"MK={MK} exceeds the fused kernel's lane budget {PALLAS_LANE}")
+    if MK > PALLAS_MAX_MK:
+        raise ValueError(f"MK={MK} exceeds the fused kernel's lane budget {PALLAS_MAX_MK}")
     if cg_iter is None:
         cg_iter = MK
     dt = jnp.float32
-    P = PALLAS_LANE
-
-    # pad documents to a tile multiple and MK to the lane width;
-    # padded lanes are exact no-ops (see module docstring)
+    MKP = max(8, ((MK + 7) // 8) * 8)
     Bp = ((B + tile_b - 1) // tile_b) * tile_b
 
-    def pad_bm(x, fill=0.0):
+    def pad_t(x, fill=0.0):
+        # (B, MK) -> transposed, padded (MKP, Bp)
         return jnp.pad(
-            x.astype(dt), ((0, Bp - B), (0, P - MK)), constant_values=fill
+            x.astype(dt).T, ((0, MKP - MK), (0, Bp - B)), constant_values=fill
         )
 
-    lam_p = pad_bm(lam0)
-    nu_p = jnp.pad(nu.astype(dt), ((0, Bp - B), (0, P - MK)), constant_values=1.0)
-    ndz_p = pad_bm(Ndivzeta)
-    st_p = pad_bm(sumtheta)
-    mu_p = jnp.pad(mu.astype(dt), (0, P - MK)).reshape(1, P)
-    eye_pad = jnp.eye(P, dtype=dt).at[:MK, :MK].set(0.0)
-    invS_p = jnp.zeros((P, P), dt).at[:MK, :MK].set(invSigma.astype(dt)) + eye_pad
-
-    scales_arr = jnp.asarray(_scales()[:-1], dt).reshape(1, -1)
+    lam_p = pad_t(lam0)
+    nu_p = pad_t(nu, fill=1.0)
+    ndz_p = pad_t(Ndivzeta)
+    st_p = pad_t(sumtheta)
+    mu_p = jnp.zeros((MKP, 128), dt).at[:MK, 0].set(mu.astype(dt))
+    eye_pad = jnp.eye(MKP, dtype=dt).at[:MK, :MK].set(0.0)
+    invS_p = jnp.zeros((MKP, MKP), dt).at[:MK, :MK].set(invSigma.astype(dt)) + eye_pad
 
     grid = (Bp // tile_b,)
     out = pl.pallas_call(
         functools.partial(_lambda_kernel, n_iter=n_iter, cg_iter=cg_iter),
-        out_shape=jax.ShapeDtypeStruct((Bp, P), dt),
+        out_shape=jax.ShapeDtypeStruct((MKP, Bp), dt),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, scales_arr.shape[1]), lambda i: (0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((tile_b, P), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile_b, P), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile_b, P), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile_b, P), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, P), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((P, P), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((MKP, tile_b), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((MKP, tile_b), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((MKP, tile_b), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((MKP, tile_b), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((MKP, 128), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((MKP, MKP), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((tile_b, P), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec((MKP, tile_b), lambda i: (0, i), memory_space=pltpu.VMEM),
         cost_estimate=pl.CostEstimate(
-            flops=2 * Bp * P * P * (n_iter + _N_POLISH) * (cg_iter + 2),
-            bytes_accessed=5 * Bp * P * 4,
-            transcendentals=Bp * P * (n_iter * (len(_scales()) + 1) + _N_POLISH),
+            flops=2 * Bp * MKP * MKP * (n_iter + _N_POLISH) * (cg_iter + 3),
+            bytes_accessed=5 * Bp * MKP * 4,
+            transcendentals=2 * Bp * MKP * (n_iter + _N_POLISH),
         ),
         interpret=interpret,
-    )(scales_arr, lam_p, nu_p, ndz_p, st_p, mu_p, invS_p)
-    return out[:B, :MK].astype(lam0.dtype)
+    )(lam_p, nu_p, ndz_p, st_p, mu_p, invS_p)
+    return out[:MK, :B].T.astype(lam0.dtype)

@@ -144,30 +144,68 @@ def maximize_lambda(
     MK = lam0.shape[-1]
     if cg_iter is None:
         cg_iter = MK
-    scales = _step_scales(lam0.dtype)
-    S = scales.shape[0]
-
-    def grad_and_w(lam):
-        w = Ndivzeta * jnp.exp(lam + 0.5 * nu)
-        g = -((lam - mu) @ invSigma) + sumtheta - w
-        return g, w
 
     # NOTE: a batch-max-gradient early exit was tried here and removed — under
     # vmap (100 restarts x 560 docs) the while_loop condition lifts to
     # "any lane unconverged", so no iterations are saved, and the looser
     # intermediate solves cost extra outer CAVI iterations (measured: 50.5s
     # vs 29.9s for the 100-restart BRCA benchmark). Fixed-count fori_loop it is.
+    #
+    # Line-search algebra: for a candidate λ + sδ,
+    #   quad(s)  = -½(q0 + 2s·b + s²·c2)      from two matvecs (Sδ, Sdiff)
+    #   linear(s) = lin0 + s·lind             from two reductions
+    #   exp term  = Σ w·e_s, e_s = exp(δ)^s   via a squaring/sqrt chain
+    # so each Newton iteration costs TWO exp evaluations total (not one per
+    # candidate) and no per-candidate matvecs.
     def body(_, lam):
-        g, w = grad_and_w(lam)
+        Eeta = jnp.exp(lam + 0.5 * nu)
+        w = Ndivzeta * Eeta
+        diff = lam - mu
+        Sdiff = diff @ invSigma
+        g = -Sdiff + sumtheta - w
         delta = _cg_solve(w, g, invSigma, cg_iter)
-        cand = lam[None] + scales.reshape((S,) + (1,) * lam.ndim) * delta[None]
-        f = _batched_lambda_objective(cand, nu[None], Ndivzeta[None], sumtheta[None], mu, invSigma)
-        f = jnp.where(jnp.isfinite(f), f, -jnp.inf)
-        best = jnp.argmax(f, axis=0)  # (B,)
-        return jnp.take_along_axis(cand, best[None, ..., None], axis=0)[0]
+
+        Sdelta = delta @ invSigma
+        q0 = jnp.sum(diff * Sdiff, axis=-1)
+        b = jnp.sum(delta * Sdiff, axis=-1)
+        c2 = jnp.sum(delta * Sdelta, axis=-1)
+        lin0 = jnp.sum(lam * sumtheta, axis=-1)
+        lind = jnp.sum(delta * sumtheta, axis=-1)
+        f0 = -0.5 * q0 + lin0 - jnp.sum(w, axis=-1)  # current point (s = 0)
+
+        e1 = jnp.exp(delta)
+        e2 = e1 * e1
+        e4 = e2 * e2
+
+        def f_of(s, e_s):
+            quad = -0.5 * (q0 + 2.0 * s * b + s * s * c2)
+            return quad + lin0 + s * lind - jnp.sum(w * e_s, axis=-1)
+
+        best_s = jnp.zeros_like(f0)
+        best_f = f0
+        e_s = e4 * e4  # s = 8
+        s = 8.0
+        for _ in range(3):  # 8, 4, 2
+            f = f_of(s, e_s)
+            ok = jnp.isfinite(f) & (f > best_f)
+            best_f = jnp.where(ok, f, best_f)
+            best_s = jnp.where(ok, s, best_s)
+            e_s = jnp.sqrt(e_s)
+            s = s / 2.0
+        # s = 1, 1/2, ..., 2^-(BACKTRACK-1)
+        for _ in range(_N_BACKTRACK):
+            f = f_of(s, e_s)
+            ok = jnp.isfinite(f) & (f > best_f)
+            best_f = jnp.where(ok, f, best_f)
+            best_s = jnp.where(ok, s, best_s)
+            e_s = jnp.sqrt(e_s)
+            s = s / 2.0
+
+        return lam + best_s[..., None] * delta
 
     def polish(_, lam):
-        g, w = grad_and_w(lam)
+        w = Ndivzeta * jnp.exp(lam + 0.5 * nu)
+        g = -((lam - mu) @ invSigma) + sumtheta - w
         step = lam + _cg_solve(w, g, invSigma, cg_iter)
         ok = jnp.all(jnp.isfinite(step), axis=-1, keepdims=True)
         return jnp.where(ok, step, lam)

@@ -194,18 +194,22 @@ def fit_restarts(
     return _finalize_carries(final, X, config)
 
 
-@partial(
-    jax.jit,
-    static_argnames=(
-        "config",
-        "restarts",
-        "stage2_restarts",
-        "maxiter",
-        "stage1_tol",
-        "stage2_tol",
-        "init_method",
-    ),
-)
+@partial(jax.jit, static_argnames=("config", "maxiter", "tol", "init_method"))
+def _stage2_from_graft(
+    keys2, X, config, alpha, grafted_gamma, grafted_Elnphi, maxiter, tol,
+    init_method="random",
+):
+    """Stage-2 restarts with the per-modality-best topic posteriors grafted
+    over fresh random inits (run_mmctm.jl:113-134)."""
+
+    def one(k):
+        state = init_with_alpha(k, config, X, alpha, init_method)
+        state = state._replace(gamma=grafted_gamma, Elnphi=grafted_Elnphi)
+        return mmctm_mod.fit(state, X, config, maxiter=maxiter, tol=tol)
+
+    return jax.vmap(one)(keys2)
+
+
 def two_stage_fit(
     key: jax.Array,
     X,
@@ -217,16 +221,22 @@ def two_stage_fit(
     stage1_tol: float = 1e-4,
     stage2_tol: float = 1e-5,
     init_method: str = "random",
+    chunk_iters: int = None,
 ):
-    """The CLI's full two-stage protocol (run_mmctm.jl:163-180) as one
-    compiled program. Returns (best stage-2 result (unbatched), stage-1
-    batched result, stage-2 batched result, best index)."""
+    """The CLI's full two-stage protocol (run_mmctm.jl:163-180). Returns
+    (best stage-2 result (unbatched), stage-1 batched result, stage-2
+    batched result, best index).
+
+    With `chunk_iters` set, both stages run as host-chunked resumable fits
+    (bounded device executions — see fit_restarts).
+    """
     X = tuple(X)
     k1, k2 = jax.random.split(key)
 
     stage1 = fit_restarts(
         key=k1, X=X, config=config, alpha=alpha, restarts=restarts,
         maxiter=maxiter, tol=stage1_tol, init_method=init_method,
+        chunk_iters=chunk_iters,
     )
     best_m = pick_optimal_modality_restarts(stage1.ll)  # (M,)
 
@@ -239,13 +249,30 @@ def two_stage_fit(
     )
 
     keys2 = jax.random.split(k2, stage2_restarts)
-
-    def stage2_one(k):
-        state = init_with_alpha(k, config, X, alpha, init_method)
-        state = state._replace(gamma=grafted_gamma, Elnphi=grafted_Elnphi)
-        return mmctm_mod.fit(state, X, config, maxiter=maxiter, tol=stage2_tol)
-
-    stage2 = jax.vmap(stage2_one)(keys2)
+    if chunk_iters is None:
+        stage2 = _stage2_from_graft(
+            keys2, X, config, alpha, grafted_gamma, grafted_Elnphi,
+            maxiter=maxiter, tol=stage2_tol, init_method=init_method,
+        )
+    else:
+        carries = _init_carries(keys2, X, config, alpha, maxiter, init_method)
+        state = carries[0]._replace(
+            gamma=jax.tree_util.tree_map(
+                lambda g: jnp.broadcast_to(g, (stage2_restarts,) + g.shape),
+                grafted_gamma,
+            ),
+            Elnphi=jax.tree_util.tree_map(
+                lambda g: jnp.broadcast_to(g, (stage2_restarts,) + g.shape),
+                grafted_Elnphi,
+            ),
+        )
+        carries = (state,) + carries[1:]
+        while True:
+            carries = _advance_carries(carries, X, config, maxiter, stage2_tol, chunk_iters)
+            it = np.asarray(carries[2])
+            if (np.asarray(carries[3]) | (it >= maxiter)).all():
+                break
+        stage2 = _finalize_carries(carries, X, config)
     best = pick_optimal_restart(stage2.ll)
     return lane(stage2, best), stage1, stage2, best
 
@@ -263,6 +290,7 @@ def fit_mmctm_restarts(
     seed: int = 147959412,
     dtype=None,
     verbose: bool = False,
+    chunk_iters: Optional[int] = 50,
 ) -> MMCTM:
     """High-level entry mirroring the CLI's `fit_model` (run_mmctm.jl:163-180):
     multi-restart two-stage MMCTM fitting, returning the selected model as a
@@ -279,6 +307,7 @@ def fit_mmctm_restarts(
         maxiter=maxiter,
         stage1_tol=stage1_tol,
         stage2_tol=stage2_tol,
+        chunk_iters=chunk_iters,
     )
     if verbose:
         best_m = np.asarray(pick_optimal_modality_restarts(stage1.ll))

@@ -34,7 +34,7 @@ def test_fused_lambda_matches_jnp_solver(problem):
     fused = np.asarray(
         maximize_lambda_fused(
             problem["lam0"], problem["nu"], problem["ndz"], problem["st"],
-            problem["mu"], problem["invS"], tile_b=32, interpret=True,
+            problem["mu"], problem["invS"], tile_b=128, interpret=True,
         )
     )
     np.testing.assert_allclose(fused, ref, atol=5e-5)
@@ -43,7 +43,7 @@ def test_fused_lambda_matches_jnp_solver(problem):
 def test_fused_lambda_is_stationary(problem):
     fused = maximize_lambda_fused(
         problem["lam0"], problem["nu"], problem["ndz"], problem["st"],
-        problem["mu"], problem["invS"], tile_b=32, interpret=True,
+        problem["mu"], problem["invS"], tile_b=128, interpret=True,
     )
     g = np.asarray(
         jnp.stack(
@@ -67,7 +67,7 @@ def test_fused_lambda_ragged_batch(problem):
         maximize_lambda_fused(
             problem["lam0"][sl], problem["nu"][sl], problem["ndz"][sl],
             problem["st"][sl], problem["mu"], problem["invS"],
-            tile_b=32, interpret=True,
+            tile_b=128, interpret=True,
         )
     )
     ref = np.asarray(
