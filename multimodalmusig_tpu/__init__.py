@@ -50,6 +50,9 @@ __all__ = [
     "fit_mmctm_restarts",
     "save_model",
     "load_model",
+    "calculate_elbo",
+    "calculate_loglikelihood",
+    "calculate_loglikelihoods",
 ]
 
 # Generic dispatch mirroring Julia's multiple dispatch on fit!/transform/...
@@ -90,3 +93,93 @@ def predict_modality_eta(Xobs, m, model, **kwargs):
     if isinstance(model, MMCTM):
         return mmctm_predict_modality_eta(Xobs, m, model, **kwargs)
     raise TypeError(f"no predict_modality_eta for {type(model)!r}")
+
+
+def calculate_elbo(model):
+    """ELBO of the model's current variational state (reference:
+    `calculate_elbo` methods, e.g. src/MMCTM.jl:372-382)."""
+    import jax.numpy as jnp
+
+    from .models import ctm_base, ilda as ilda_m, immctm as immctm_m, lda as lda_m
+    from .models import mmctm as mmctm_m
+
+    if isinstance(model, IMMCTM):
+        N = ctm_base.counts_per_doc(model.Xdense)
+        return float(immctm_m.calculate_elbo(model.state, model.Xdense, N, model.F, model.config))
+    if isinstance(model, MMCTM):
+        N = ctm_base.counts_per_doc(model.Xdense)
+        return float(mmctm_m.calculate_elbo(model.state, model.Xdense, N, model.config))
+    if isinstance(model, ILDA):
+        return float(ilda_m.calculate_elbo(model.state, model.Xdense, model.F, model.config))
+    if isinstance(model, LDA):
+        return float(lda_m.calculate_elbo(model.state, model.Xdense, model.config))
+    raise TypeError(f"no calculate_elbo for {type(model)!r}")
+
+
+def calculate_loglikelihood(*args):
+    """LDA/ILDA per-word log-likelihood: `calculate_loglikelihood(model)` or
+    `calculate_loglikelihood(X, model)` (src/LDA.jl:174-196,
+    src/ILDA.jl:209-236)."""
+    import jax.numpy as jnp
+
+    from .models import ilda as ilda_m, lda as lda_m
+    from .utils.formatting import sparse_to_dense
+
+    model = args[-1]
+    if isinstance(model, ILDA):
+        Xd = (
+            model.Xdense
+            if len(args) == 1
+            else jnp.asarray(sparse_to_dense(args[0], model.V), model.config.dtype)
+        )
+        return float(
+            ilda_m.loglikelihood(
+                Xd, ilda_m.theta_point(model.state), ilda_m.beta_point(model.state), model.F
+            )
+        )
+    if isinstance(model, LDA):
+        Xd = (
+            model.Xdense
+            if len(args) == 1
+            else jnp.asarray(sparse_to_dense(args[0], model.V), model.config.dtype)
+        )
+        return float(
+            lda_m.loglikelihood(Xd, lda_m.theta_point(model.state), lda_m.beta_point(model.state))
+        )
+    raise TypeError(f"no calculate_loglikelihood for {type(model)!r}")
+
+
+def calculate_loglikelihoods(*args):
+    """MMCTM/IMMCTM per-modality log-likelihoods:
+    `calculate_loglikelihoods(model)` or `(X, model)`
+    (src/MMCTM.jl:384-448, src/IMMCTM.jl:388-428)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from .models import immctm as immctm_m, mmctm as mmctm_m
+    from .utils.formatting import sparse_to_dense
+
+    model = args[-1]
+    if len(args) == 1:
+        Xd = model.Xdense
+    else:
+        X = args[0]
+        Xd = tuple(
+            jnp.asarray(
+                sparse_to_dense([doc[m] for doc in X], model.V[m]), model.config.dtype
+            )
+            for m in range(model.M)
+        )
+    if isinstance(model, IMMCTM):
+        ll = immctm_m.modality_loglikelihoods(
+            Xd, model.state.lam, model.state.gamma, model.F, model.config
+        )
+    elif isinstance(model, MMCTM):
+        ll = mmctm_m.modality_loglikelihoods(
+            Xd,
+            mmctm_m.props_from(model.state.lam, model.config),
+            mmctm_m.phi_point(model.state.gamma),
+        )
+    else:
+        raise TypeError(f"no calculate_loglikelihoods for {type(model)!r}")
+    return list(np.asarray(ll, dtype=np.float64))
