@@ -64,6 +64,11 @@ def build_parser() -> argparse.ArgumentParser:
         help="topic dirichlet hyperparameter value",
     )
     p.add_argument("--maxiter", type=int, default=1000, help="max CAVI iterations per fit")
+    p.add_argument(
+        "--chunk-iters", type=int, default=50,
+        help="CAVI iterations per device execution (host-chunked resumable "
+        "fitting; 0 disables chunking)",
+    )
     return p
 
 
@@ -105,6 +110,7 @@ def main(argv=None) -> int:
         maxiter=args.maxiter,
         seed=args.seed,
         verbose=args.verbose,
+        chunk_iters=args.chunk_iters or None,
     )
     if args.verbose:
         print(f"Log-likelihoods: {model.ll}")

@@ -8,21 +8,25 @@ and once per modality for the Dirichlet hyperparameter α
 C-library round-trip is the dominant cost of the reference and is
 fundamentally serial.
 
-Here each solve is a fixed-iteration damped Newton ascent, written so that
+Here each solve is a fixed-iteration batched method, written so that
 
-  * every step is branch-free (candidate-step line search via argmax instead
-    of data-dependent halving loops) -> vmap/jit/TPU friendly;
-  * λ solves batch over documents as one (D, MK, MK) Cholesky solve feeding
-    the MXU;
+  * every step is branch-free (candidate-step line search via a masked
+    best-so-far scan instead of data-dependent halving loops) ->
+    vmap/jit/TPU friendly;
+  * λ solves batch over documents with the Newton systems solved by CG whose
+    matvec is one shared-matrix matmul (no per-document factorizations; on
+    TPU this beats batched small-matrix Cholesky by ~2 orders of magnitude),
+    and the line search needs only two exponentials per Newton iteration
+    (exp(sδ) over the halving/doubling ladder is a squaring/sqrt chain);
   * ν solves exploit that the ν-objective is *fully separable per coordinate*
-    (src/common.jl:25-36 is a sum of per-coordinate terms), so the "MK-dim
-    optimization" collapses to elementwise scalar Newton over a (D, MK) grid;
+    (src/common.jl:25-36 is a sum of per-coordinate terms): a contractive
+    fixed-point sweep plus Newton polish over the (D, MK) grid;
   * the ν >= 1e-7 bound (src/MMCTM.jl:158 `lower_bounds!(opt, 1e-7)`) is a
     clip, not a constraint.
 
 All objectives here are concave on the feasible region, so monotone damped
 Newton converges globally; the candidate line search guarantees monotone
-ascent (a candidate step of 0 is always included).
+ascent (staying put is always a candidate).
 """
 
 from __future__ import annotations

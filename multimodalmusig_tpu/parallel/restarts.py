@@ -64,15 +64,25 @@ def dense_rank(values: jnp.ndarray) -> jnp.ndarray:
 
 def pick_optimal_modality_restarts(ll: jnp.ndarray) -> jnp.ndarray:
     """(R, M) lls -> (M,) restart index with the best ll per modality
-    (run_mmctm.jl:86-97: findmax along the restart axis)."""
-    return jnp.argmax(ll, axis=0)
+    (run_mmctm.jl:86-97: findmax along the restart axis).
+
+    Non-finite lanes (diverged restarts) are excluded — the reference's pmap
+    fan-out would abort the whole run on a failed worker; here a bad lane
+    just loses the selection (SURVEY.md §5 failure-recovery note)."""
+    masked = jnp.where(jnp.isfinite(ll), ll, -jnp.inf)
+    return jnp.argmax(masked, axis=0)
 
 
 def pick_optimal_restart(ll: jnp.ndarray) -> jnp.ndarray:
     """(R, M) lls -> scalar index minimizing the mean dense-rank of |ll|
-    across modalities (run_mmctm.jl:136-147)."""
-    ranks = jax.vmap(dense_rank, in_axes=1, out_axes=1)(jnp.abs(ll))
-    return jnp.argmin(ranks.mean(axis=1))
+    across modalities (run_mmctm.jl:136-147). Non-finite lanes rank last."""
+    ranks = jax.vmap(dense_rank, in_axes=1, out_axes=1)(
+        jnp.where(jnp.isfinite(ll), jnp.abs(ll), jnp.inf)
+    )
+    mean_rank = jnp.where(
+        jnp.all(jnp.isfinite(ll), axis=1), ranks.mean(axis=1), jnp.inf
+    )
+    return jnp.argmin(mean_rank)
 
 
 def lane(batched_pytree, i):

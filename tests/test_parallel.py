@@ -149,3 +149,12 @@ class TestSharding:
 
     def test_dryrun_multichip(self):
         smod.dryrun_multichip(8)
+
+
+class TestNaNLaneTolerance:
+    def test_pick_functions_skip_nonfinite_lanes(self):
+        ll = jnp.asarray([[np.nan, -5.0], [-2.0, -6.0], [-4.0, np.nan]])
+        best_m = np.asarray(rmod.pick_optimal_modality_restarts(ll))
+        np.testing.assert_array_equal(best_m, [1, 0])
+        ll2 = jnp.asarray([[np.nan, np.nan], [-2.0, -4.0], [-3.0, -5.0]])
+        assert int(rmod.pick_optimal_restart(ll2)) == 1
