@@ -158,3 +158,45 @@ class TestNaNLaneTolerance:
         np.testing.assert_array_equal(best_m, [1, 0])
         ll2 = jnp.asarray([[np.nan, np.nan], [-2.0, -4.0], [-3.0, -5.0]])
         assert int(rmod.pick_optimal_restart(ll2)) == 1
+
+
+class TestVocabSharding:
+    def test_vocab_sharded_fit_matches_single_device(self, mmctm_fixture):
+        """TP analog (SURVEY.md §2.8): shard the vocabulary axis of the
+        count matrices; XLA reduces the V-contractions across the mesh."""
+        import dataclasses
+
+        from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+        from multimodalmusig_tpu.models import mmctm as mmod
+        from multimodalmusig_tpu.models.mmctm import init_with_alpha
+
+        rng = np.random.default_rng(11)
+        X = tuple(
+            jnp.asarray(rng.integers(0, 6, size=(4, V)), jnp.float64)
+            for V in (8, 8)
+        )
+        model = MMCTM(mmctm_fixture["K"], mmctm_fixture["alpha"], mmctm_fixture["X"])
+        config = dataclasses.replace(model.config, D=4, V=(8, 8))
+        state = init_with_alpha(jax.random.key(4), config, X, [0.1, 0.1])
+
+        mesh = Mesh(np.array(jax.devices("cpu")[:4]), axis_names=("vocab",))
+        Xs = tuple(
+            jax.device_put(Xm, NamedSharding(mesh, P(None, "vocab"))) for Xm in X
+        )
+        state_s = state._replace(
+            gamma=tuple(
+                jax.device_put(g, NamedSharding(mesh, P(None, "vocab")))
+                for g in state.gamma
+            ),
+            Elnphi=tuple(
+                jax.device_put(g, NamedSharding(mesh, P(None, "vocab")))
+                for g in state.Elnphi
+            ),
+        )
+        fit = jax.jit(mmod.fit, static_argnames=("config", "maxiter", "tol"))
+        sharded = fit(state_s, Xs, config, maxiter=5)
+        single = fit(state, X, config, maxiter=5)
+        np.testing.assert_allclose(
+            np.asarray(sharded.ll), np.asarray(single.ll), rtol=1e-8
+        )
