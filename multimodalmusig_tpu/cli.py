@@ -82,7 +82,7 @@ def main(argv=None) -> int:
         print("Number of modality labels must match the number of K values.", file=sys.stderr)
         return 1
 
-    import numpy as np
+
 
     from .parallel.restarts import fit_mmctm_restarts
     from .utils import io as io_mod

@@ -22,7 +22,7 @@ Idiomatic differences from the reference (same math, TPU-first layout):
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, List, NamedTuple, Optional, Sequence
+from typing import Any, List, NamedTuple
 
 import jax
 import jax.numpy as jnp

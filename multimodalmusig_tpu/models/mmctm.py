@@ -39,7 +39,6 @@ Documented divergences from reference behavior (bug fixes, not math changes):
 
 from __future__ import annotations
 
-import dataclasses
 from typing import Any, List, NamedTuple, Sequence, Tuple
 
 import jax

@@ -30,7 +30,6 @@ reproducing the reference's result at 1/R the cost; raising
 
 from __future__ import annotations
 
-import dataclasses
 from functools import partial
 from typing import Optional, Sequence
 
