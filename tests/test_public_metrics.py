@@ -43,3 +43,41 @@ def test_immctm_metrics(mmctm_fixture):
     assert np.isclose(mm.calculate_elbo(model), model.elbo, rtol=1e-6)
     ll = mm.calculate_loglikelihoods(model)
     np.testing.assert_allclose(ll, model.ll, rtol=1e-6)
+
+
+def test_model_selection_workflow(mmctm_fixture):
+    """K-selection by held-out likelihood on a small synthetic corpus."""
+    import numpy as np
+
+    from multimodalmusig_tpu.model_selection import (
+        heldout_ll_curve,
+        select_k_mmctm,
+        train_test_split_docs,
+    )
+
+    rng = np.random.default_rng(0)
+    X = []
+    for d in range(12):
+        docs = []
+        for V in (6, 5):
+            counts = rng.integers(0, 6, size=V)
+            idx = np.nonzero(counts)[0]
+            docs.append(np.stack([idx + 1, counts[idx]], axis=1))
+        X.append(docs)
+
+    train, test = train_test_split_docs(X, 0.25, seed=1)
+    assert len(train) + len(test) == 12 and len(test) == 3
+
+    curve = heldout_ll_curve(
+        [[2, 2], [3, 2]], train, test, [0.1, 0.1], restarts=1, maxiter=10,
+        heldout_maxiter=5,
+    )
+    assert len(curve) == 2
+    for k, ll in curve:
+        assert len(ll) == 2 and np.all(np.isfinite(ll))
+
+    best_k, curve = select_k_mmctm(
+        [[2, 2], [3, 2]], X, [0.1, 0.1], restarts=1, maxiter=10,
+        heldout_maxiter=5,
+    )
+    assert best_k in ([2, 2], [3, 2])
