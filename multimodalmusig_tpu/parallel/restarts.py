@@ -167,18 +167,30 @@ def fit_restarts(
     X = tuple(X)
     keys = jax.random.split(key, restarts)
     carries = _init_carries(keys, X, config, alpha, maxiter, init_method)
+    final = _chunked_drive(
+        carries,
+        lambda c: _advance_carries(c, X, config, maxiter, tol, chunk_iters),
+        maxiter,
+        restarts,
+    )
+    return _finalize_carries(final, X, config)
 
-    # Host loop with LANE COMPACTION. A vmapped while_loop computes every
-    # lane until the slowest lane finishes, so straggler restarts would make
-    # all R lanes pay for up to maxiter iterations. Between chunks we pull
-    # finished lanes out and re-pack the still-running ones into the next
-    # power-of-two batch (padding by duplicating lane 0 — duplicates compute
-    # identical trajectories, so their results overwrite harmlessly). Total
-    # work drops from R x slowest to roughly the sum of per-lane iterations.
+
+def _chunked_drive(carries, advance, maxiter, restarts):
+    """Host loop with LANE COMPACTION over a batched CAVI carry.
+
+    A vmapped while_loop computes every lane until the slowest lane
+    finishes, so straggler restarts would make all R lanes pay for up to
+    maxiter iterations. Between chunks we pull finished lanes out and
+    re-pack the still-running ones into the next power-of-two batch
+    (padding by duplicating lane 0 — duplicates compute identical
+    trajectories, so their results overwrite harmlessly). Total work drops
+    from R x slowest to roughly the sum of per-lane iterations.
+    """
     order = np.arange(restarts)
     done_store = [None] * restarts
     while True:
-        carries = _advance_carries(carries, X, config, maxiter, tol, chunk_iters)
+        carries = advance(carries)
         it = np.asarray(carries[2])
         done = np.asarray(carries[3]) | (it >= maxiter)
         done_pos = np.nonzero(done)[0]
@@ -199,8 +211,7 @@ def fit_restarts(
         idx = jnp.asarray(pad)
         carries = jax.tree_util.tree_map(lambda x: x[idx], carries)
 
-    final = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *done_store)
-    return _finalize_carries(final, X, config)
+    return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *done_store)
 
 
 @partial(jax.jit, static_argnames=("config", "maxiter", "tol", "init_method"))
@@ -276,12 +287,13 @@ def two_stage_fit(
             ),
         )
         carries = (state,) + carries[1:]
-        while True:
-            carries = _advance_carries(carries, X, config, maxiter, stage2_tol, chunk_iters)
-            it = np.asarray(carries[2])
-            if (np.asarray(carries[3]) | (it >= maxiter)).all():
-                break
-        stage2 = _finalize_carries(carries, X, config)
+        final = _chunked_drive(
+            carries,
+            lambda c: _advance_carries(c, X, config, maxiter, stage2_tol, chunk_iters),
+            maxiter,
+            stage2_restarts,
+        )
+        stage2 = _finalize_carries(final, X, config)
     best = pick_optimal_restart(stage2.ll)
     return lane(stage2, best), stage1, stage2, best
 
@@ -406,27 +418,75 @@ def fit_ilda_restarts(
 def fit_immctm_restarts(
     k, alpha, features, X, restarts: int = 100, maxiter: int = 1000,
     tol: float = 1e-4, seed: int = 147959412, dtype=None,
+    chunk_iters: Optional[int] = None,
 ):
     """Best-of-N IMMCTM fitting: vmapped restarts; selection by min mean
     dense-rank of |ll| across modalities (the MMCTM CLI's criterion,
-    run_mmctm.jl:136-147)."""
+    run_mmctm.jl:136-147). `chunk_iters` enables the same host-chunked
+    compacted driver as the MMCTM path."""
     from ..models import immctm as immctm_mod
+    from ..models.ctm_base import make_cavi_carry as _mk
     from ..models.immctm import IMMCTM
 
     model = IMMCTM(k, alpha, features, X, dtype=dtype)
     cfg, Xd, F = model.config, model.Xdense, model.F
     alpha_full = model.state.alpha
+    keys = jax.random.split(jax.random.key(seed), restarts)
 
-    @jax.jit
-    def run(keys):
-        def one(key):
-            state = immctm_mod.init(key, cfg, [np.zeros(i) for i in cfg.I])
-            state = state._replace(alpha=alpha_full)
-            return immctm_mod.fit(state, Xd, F, cfg, maxiter=maxiter, tol=tol)
+    def init_one(key):
+        state = immctm_mod.init(key, cfg, [np.zeros(i) for i in cfg.I])
+        return state._replace(alpha=alpha_full)
 
-        return jax.vmap(one)(keys)
+    if chunk_iters is None:
 
-    result = run(jax.random.split(jax.random.key(seed), restarts))
+        @jax.jit
+        def run(keys):
+            def one(key):
+                return immctm_mod.fit(init_one(key), Xd, F, cfg, maxiter=maxiter, tol=tol)
+
+            return jax.vmap(one)(keys)
+
+        result = run(keys)
+    else:
+        N = counts_per_doc(Xd)
+
+        @jax.jit
+        def init_c(keys):
+            return jax.vmap(lambda kk: _mk(init_one(kk), cfg, maxiter))(keys)
+
+        def step(s):
+            s = immctm_mod.e_step(s, Xd, N, F, cfg)
+            s = s._replace(mu=s.lam.mean(axis=0))
+            from ..models.ctm_base import update_Sigma_mats
+
+            Sigma, invSigma = update_Sigma_mats(s.lam, s.nu, s.mu, cfg.D)
+            s = s._replace(Sigma=Sigma, invSigma=invSigma)
+            s = immctm_mod.update_gamma(s, Xd, F, cfg)
+            ll_i = immctm_mod.modality_loglikelihoods(Xd, s.lam, s.gamma, F, cfg)
+            return s, ll_i
+
+        @jax.jit
+        def advance(carries):
+            return jax.vmap(
+                lambda c: run_cavi_from(c, maxiter, tol, step, max_new_iters=chunk_iters)
+            )(carries)
+
+        @jax.jit
+        def finalize(carries):
+            return jax.vmap(
+                lambda c: immctm_mod.IMMCTMFitResult(
+                    state=c[0],
+                    ll_history=c[1],
+                    n_iters=c[2],
+                    converged=c[3],
+                    elbo=immctm_mod.calculate_elbo(c[0], Xd, N, F, cfg),
+                    ll=c[1][c[2] - 1],
+                )
+            )(carries)
+
+        final = _chunked_drive(init_c(keys), advance, maxiter, restarts)
+        result = finalize(final)
+
     best = int(pick_optimal_restart(result.ll))
     sel = lane(result, best)
     model.state = sel.state

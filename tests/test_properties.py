@@ -145,3 +145,19 @@ class TestBRCAEndToEnd:
         ll = model.fit(maxiter=120, tol=1e-4, verbose=False)
         assert model.converged
         assert np.all(np.isfinite(np.asarray(ll)))
+
+
+class TestPrecision:
+    def test_f32_trajectory_tracks_f64(self, mmctm_fixture):
+        """float32 (the TPU production dtype) must track the float64
+        trajectory closely over a realistic number of iterations."""
+        import jax.numpy as jnp
+
+        lls = {}
+        for dt in (jnp.float32, jnp.float64):
+            model = MMCTM(
+                mmctm_fixture["K"], mmctm_fixture["alpha"], mmctm_fixture["X"],
+                seed=5, dtype=dt,
+            )
+            lls[dt] = np.asarray(model.fit(maxiter=20, verbose=False))
+        np.testing.assert_allclose(lls[jnp.float32], lls[jnp.float64], rtol=2e-4)

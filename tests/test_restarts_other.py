@@ -60,3 +60,17 @@ def test_debug_nans_context():
     with debug_nans(True):
         assert jax.config.jax_debug_nans
     assert jax.config.jax_debug_nans == before
+
+
+def test_immctm_chunked_matches_single_shot(mmctm_fixture):
+    kw = dict(restarts=3, maxiter=12, seed=4)
+    a = fit_immctm_restarts(
+        mmctm_fixture["K"], mmctm_fixture["alpha"], [FEATURES, FEATURES],
+        mmctm_fixture["X"], **kw,
+    )
+    b = fit_immctm_restarts(
+        mmctm_fixture["K"], mmctm_fixture["alpha"], [FEATURES, FEATURES],
+        mmctm_fixture["X"], chunk_iters=5, **kw,
+    )
+    np.testing.assert_allclose(a.ll, b.ll, rtol=1e-10)
+    np.testing.assert_allclose(a.mu, b.mu, rtol=1e-8)
