@@ -268,3 +268,100 @@ class TestMetrics:
 
         expected = ElnPphi + ElnPeta + ElnPZ + ElnPX - ElnQphi - ElnQeta - ElnQZ
         np.testing.assert_allclose(got, expected, rtol=1e-8)
+
+
+class TestIMMCTMOracle:
+    """Feature-factorized updates vs explicit 4-level loops on random state."""
+
+    def _setup(self, rng):
+        from multimodalmusig_tpu.models.immctm import IMMCTMConfig
+        from multimodalmusig_tpu.models.ilda import feature_onehots
+
+        J = ((3, 2), (2, 4))
+        features = [
+            np.stack([rng.integers(1, j + 1, size=V[m]) for j in J[m]], axis=1)
+            for m in range(M)
+        ]
+        # ensure every value appears so J inference holds
+        for m in range(M):
+            for i, j in enumerate(J[m]):
+                features[m][:j, i] = np.arange(1, j + 1)
+        cfg = IMMCTMConfig(K=K, V=V, D=D, dtype=jnp.float64, J=J)
+        F = tuple(feature_onehots(features[m], J[m], jnp.float64) for m in range(M))
+        gamma = tuple(
+            tuple(rng.uniform(0.5, 6.0, size=(K[m], J[m][i])) for i in range(2))
+            for m in range(M)
+        )
+        X = [rng.integers(0, 9, size=(D, V[m])).astype(np.float64) for m in range(M)]
+        lam = rng.normal(size=(D, MK))
+        return cfg, F, features, gamma, X, lam
+
+    def test_theta_product_of_features(self, rng):
+        from multimodalmusig_tpu.models import immctm as imod
+        from multimodalmusig_tpu.ops.special import dirichlet_expectation
+
+        cfg, F, features, gamma, X, lam = self._setup(rng)
+        Elnphi = tuple(
+            tuple(dirichlet_expectation(jnp.asarray(g), axis=1) for g in gm)
+            for gm in gamma
+        )
+        state = imod.IMMCTMState(
+            mu=jnp.zeros(MK), Sigma=jnp.eye(MK), invSigma=jnp.eye(MK),
+            alpha=(jnp.asarray([0.1, 0.1]), jnp.asarray([0.1, 0.1])),
+            gamma=tuple(tuple(jnp.asarray(g) for g in gm) for gm in gamma),
+            Elnphi=Elnphi,
+            lam=jnp.asarray(lam), nu=jnp.ones((D, MK)),
+            zeta=jnp.ones((D, M)),
+            theta=tuple(jnp.full((D, V[m], K[m]), 1.0 / K[m]) for m in range(M)),
+        )
+        got = imod.update_theta(state, F, cfg)
+
+        for m in range(M):
+            Eln = [
+                digamma(gamma[m][i]) - digamma(gamma[m][i].sum(axis=1, keepdims=True))
+                for i in range(2)
+            ]
+            for d in range(D):
+                for v in range(V[m]):
+                    th = np.empty(K[m])
+                    for k in range(K[m]):
+                        acc = lam[d, OFF[m] + k]
+                        for i in range(2):
+                            acc += Eln[i][k, features[m][v, i] - 1]
+                        th[k] = np.exp(acc)
+                    th /= th.sum()
+                    np.testing.assert_allclose(
+                        np.asarray(got[m][d, v]), th, rtol=1e-8
+                    )
+
+    def test_gamma_scatter_per_feature(self, rng):
+        from multimodalmusig_tpu.models import immctm as imod
+        from multimodalmusig_tpu.ops.special import dirichlet_expectation
+
+        cfg, F, features, gamma, X, lam = self._setup(rng)
+        theta = [rng.dirichlet(np.ones(K[m]), size=(D, V[m])) for m in range(M)]
+        state = imod.IMMCTMState(
+            mu=jnp.zeros(MK), Sigma=jnp.eye(MK), invSigma=jnp.eye(MK),
+            alpha=(jnp.asarray([0.1, 0.3]), jnp.asarray([0.2, 0.4])),
+            gamma=tuple(tuple(jnp.asarray(g) for g in gm) for gm in gamma),
+            Elnphi=tuple(
+                tuple(dirichlet_expectation(jnp.asarray(g), axis=1) for g in gm)
+                for gm in gamma
+            ),
+            lam=jnp.asarray(lam), nu=jnp.ones((D, MK)),
+            zeta=jnp.ones((D, M)),
+            theta=tuple(jnp.asarray(t) for t in theta),
+        )
+        st2 = imod.update_gamma(state, tuple(jnp.asarray(x) for x in X), F, cfg)
+        alphas = [[0.1, 0.3], [0.2, 0.4]]
+        for m in range(M):
+            for i in range(2):
+                expected = np.full((K[m], cfg.J[m][i]), alphas[m][i])
+                for d in range(D):
+                    for v in range(V[m]):
+                        j = features[m][v, i] - 1
+                        for k in range(K[m]):
+                            expected[k, j] += X[m][d, v] * theta[m][d, v, k]
+                np.testing.assert_allclose(
+                    np.asarray(st2.gamma[m][i]), expected, rtol=1e-9
+                )

@@ -161,3 +161,33 @@ class TestPrecision:
             )
             lls[dt] = np.asarray(model.fit(maxiter=20, verbose=False))
         np.testing.assert_allclose(lls[jnp.float32], lls[jnp.float64], rtol=2e-4)
+
+
+class TestFuzz:
+    def test_random_configs_stay_finite(self):
+        """Random shapes/counts/seeds in float32 (production dtype): fits
+        must stay finite and normalized."""
+        import jax.numpy as jnp
+
+        rng = np.random.default_rng(123)
+        for trial in range(6):
+            M_ = int(rng.integers(1, 4))
+            K_ = [int(rng.integers(2, 5)) for _ in range(M_)]
+            V_ = [int(rng.integers(3, 12)) for _ in range(M_)]
+            D_ = int(rng.integers(2, 9))
+            X = []
+            for d in range(D_):
+                docs = []
+                for m in range(M_):
+                    counts = rng.integers(0, 15, size=V_[m])
+                    if counts.sum() == 0:
+                        counts[rng.integers(V_[m])] = 1
+                    idx = np.nonzero(counts)[0]
+                    docs.append(np.stack([idx + 1, counts[idx]], axis=1))
+                X.append(docs)
+            model = MMCTM(K_, [0.1] * M_, V_, X, seed=trial, dtype=jnp.float32)
+            ll = model.fit(maxiter=15, verbose=False)
+            assert np.all(np.isfinite(np.asarray(ll))), (trial, K_, V_, D_)
+            assert np.isfinite(model.elbo), (trial, K_, V_, D_)
+            for p in model.props[0]:
+                np.testing.assert_allclose(p.sum(), 1.0, rtol=1e-4)
