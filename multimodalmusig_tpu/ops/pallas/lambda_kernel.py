@@ -34,7 +34,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["maximize_lambda_fused", "PALLAS_MAX_MK"]
+__all__ = ["maximize_lambda_fused", "maximize_lambda_fused_restarts", "PALLAS_MAX_MK"]
 
 PALLAS_MAX_MK = 128
 
@@ -44,15 +44,8 @@ _N_BACKTRACK = 13
 _N_POLISH = 4
 
 
-def _lambda_kernel(lam_ref, nu_ref, ndz_ref, st_ref, mu_ref, invS_ref, out_ref,
-                   *, n_iter: int, cg_iter: int):
-    lam = lam_ref[:]          # (MKP, TB)
-    nu = nu_ref[:]
-    ndz = ndz_ref[:]
-    st = st_ref[:]
-    mu = mu_ref[:]            # (MKP, 128): column 0 holds μ
-    invS = invS_ref[:]        # (MKP, MKP)
-    mu_col = mu[:, 0:1]
+def _lambda_solve(lam, nu, ndz, st, mu_col, invS, *, n_iter: int, cg_iter: int):
+    """Value-level fused Newton solve on (MKP, TB) blocks (see module docs)."""
 
     def matS(v):
         return jax.lax.dot_general(
@@ -130,8 +123,24 @@ def _lambda_kernel(lam_ref, nu_ref, ndz_ref, st_ref, mu_ref, invS_ref, out_ref,
         return jnp.where(ok, step, lam)
 
     lam = jax.lax.fori_loop(0, n_iter, newton, lam)
-    lam = jax.lax.fori_loop(0, _N_POLISH, polish, lam)
-    out_ref[:] = lam
+    return jax.lax.fori_loop(0, _N_POLISH, polish, lam)
+
+
+def _lambda_kernel(lam_ref, nu_ref, ndz_ref, st_ref, mu_ref, invS_ref, out_ref,
+                   *, n_iter: int, cg_iter: int):
+    out_ref[:] = _lambda_solve(
+        lam_ref[:], nu_ref[:], ndz_ref[:], st_ref[:],
+        mu_ref[:][:, 0:1], invS_ref[:], n_iter=n_iter, cg_iter=cg_iter,
+    )
+
+
+def _lambda_kernel_r(lam_ref, nu_ref, ndz_ref, st_ref, mu_ref, invS_ref,
+                     out_ref, *, n_iter: int, cg_iter: int):
+    """Restart-batched variant: blocks carry a leading singleton restart dim."""
+    out_ref[0] = _lambda_solve(
+        lam_ref[0], nu_ref[0], ndz_ref[0], st_ref[0],
+        mu_ref[0][:, 0:1], invS_ref[0], n_iter=n_iter, cg_iter=cg_iter,
+    )
 
 
 @functools.partial(
@@ -192,3 +201,66 @@ def maximize_lambda_fused(
         interpret=interpret,
     )(lam_p, nu_p, ndz_p, st_p, mu_p, invS_p)
     return out[:MK, :B].T.astype(lam0.dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("n_iter", "cg_iter", "tile_b", "interpret")
+)
+def maximize_lambda_fused_restarts(
+    lam0, nu, Ndivzeta, sumtheta, mu, invSigma,
+    n_iter: int = 20, cg_iter: int = None, tile_b: int = 2048,
+    interpret: bool = False,
+):
+    """Restart-batched fused λ solve: lam0/nu/Ndivzeta/sumtheta are
+    (R, D, MK); mu is (R, MK); invSigma is (R, MK, MK) — each restart lane
+    has its own Gaussian. Grid is (R, doc-tiles); per-lane μ/Σ⁻¹ blocks are
+    indexed by the restart grid coordinate (the plain fused kernel cannot be
+    vmapped efficiently over restarts because its Σ⁻¹ block is shared)."""
+    R, D, MK = lam0.shape
+    if MK > PALLAS_MAX_MK:
+        raise ValueError(f"MK={MK} exceeds the fused kernel's lane budget {PALLAS_MAX_MK}")
+    if cg_iter is None:
+        cg_iter = MK
+    dt = jnp.float32
+    MKP = max(8, ((MK + 7) // 8) * 8)
+    tile_b = min(tile_b, ((D + 127) // 128) * 128)
+    Dp = ((D + tile_b - 1) // tile_b) * tile_b
+
+    def pad_t(x, fill=0.0):
+        # (R, D, MK) -> (R, MKP, Dp)
+        return jnp.pad(
+            jnp.swapaxes(x.astype(dt), 1, 2),
+            ((0, 0), (0, MKP - MK), (0, Dp - D)),
+            constant_values=fill,
+        )
+
+    lam_p = pad_t(lam0)
+    nu_p = pad_t(nu, fill=1.0)
+    ndz_p = pad_t(Ndivzeta)
+    st_p = pad_t(sumtheta)
+    mu_p = jnp.zeros((R, MKP, 128), dt).at[:, :MK, 0].set(mu.astype(dt))
+    eye_pad = jnp.eye(MKP, dtype=dt).at[:MK, :MK].set(0.0)
+    invS_p = (
+        jnp.zeros((R, MKP, MKP), dt).at[:, :MK, :MK].set(invSigma.astype(dt))
+        + eye_pad[None]
+    )
+
+    grid = (R, Dp // tile_b)
+    out = pl.pallas_call(
+        functools.partial(_lambda_kernel_r, n_iter=n_iter, cg_iter=cg_iter),
+        out_shape=jax.ShapeDtypeStruct((R, MKP, Dp), dt),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, MKP, tile_b), lambda r, i: (r, 0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, MKP, tile_b), lambda r, i: (r, 0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, MKP, tile_b), lambda r, i: (r, 0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, MKP, tile_b), lambda r, i: (r, 0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, MKP, 128), lambda r, i: (r, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, MKP, MKP), lambda r, i: (r, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, MKP, tile_b), lambda r, i: (r, 0, i), memory_space=pltpu.VMEM
+        ),
+        interpret=interpret,
+    )(lam_p, nu_p, ndz_p, st_p, mu_p, invS_p)
+    return jnp.swapaxes(out[:, :MK, :D], 1, 2).astype(lam0.dtype)

@@ -85,3 +85,34 @@ def test_mk_over_lane_budget_raises(problem):
         maximize_lambda_fused(
             big, big, big, big, jnp.zeros(200), jnp.eye(200), interpret=True
         )
+
+
+def test_restart_batched_fused_matches_per_lane(problem, rng):
+    """Each restart lane has its own mu/invSigma; the restart-batched kernel
+    must match per-lane jnp solves."""
+    from multimodalmusig_tpu.ops.pallas.lambda_kernel import (
+        maximize_lambda_fused_restarts,
+    )
+
+    R, D, MK = 3, 40, 14
+    lam0 = jnp.zeros((R, D, MK), jnp.float32)
+    nu = jnp.asarray(rng.uniform(0.5, 1.5, (R, D, MK)), jnp.float32)
+    ndz = jnp.asarray(rng.uniform(1, 10, (R, D, MK)), jnp.float32)
+    st = jnp.asarray(rng.uniform(0, 5, (R, D, MK)), jnp.float32)
+    mu = jnp.asarray(rng.normal(size=(R, MK)), jnp.float32)
+    invS = []
+    for r in range(R):
+        A = rng.normal(size=(MK, MK))
+        invS.append(np.eye(MK) + 0.05 * (A @ A.T) / MK)
+    invS = jnp.asarray(np.stack(invS), jnp.float32)
+
+    fused = np.asarray(
+        maximize_lambda_fused_restarts(
+            lam0, nu, ndz, st, mu, invS, tile_b=128, interpret=True
+        )
+    )
+    for r in range(R):
+        ref = np.asarray(
+            maximize_lambda(lam0[r], nu[r], ndz[r], st[r], mu[r], invS[r])
+        )
+        np.testing.assert_allclose(fused[r], ref, atol=5e-5)
