@@ -128,7 +128,8 @@ def dryrun_multichip(n_devices: int) -> None:
     mesh = make_mesh(n_restart, n_data, devices)
 
     # tiny flagship-shaped problem: 2 modalities, K=[2,2], 8 docs
-    config = MMCTMConfig(K=(2, 2), V=(6, 4), D=8, dtype=jnp.float32)
+    # (V divisible by n_devices so the vocab-sharded step below can split it)
+    config = MMCTMConfig(K=(2, 2), V=(8, 8), D=8, dtype=jnp.float32)
     rng = np.random.default_rng(0)
     X = tuple(
         jnp.asarray(rng.integers(0, 5, size=(config.D, V)), jnp.float32)
@@ -157,3 +158,24 @@ def dryrun_multichip(n_devices: int) -> None:
     state = init_with_alpha(jax.random.key(1), config, X, alpha)
     result2 = sharded_data_parallel_fit(mesh, state, X, config, maxiter=1)
     assert np.all(np.isfinite(np.asarray(result2.ll)))
+
+    # vocab-sharded fit (the TP analog — SURVEY.md §2.8: shard the V axis of
+    # counts/γ; XLA all-reduces the V-contractions in the M-step)
+    flat = Mesh(np.asarray(devices).reshape(-1), axis_names=("vocab",))
+    Xv = tuple(
+        jax.device_put(Xm, NamedSharding(flat, P(None, "vocab"))) for Xm in X
+    )
+    state_v = state._replace(
+        gamma=tuple(
+            jax.device_put(g, NamedSharding(flat, P(None, "vocab")))
+            for g in state.gamma
+        ),
+        Elnphi=tuple(
+            jax.device_put(g, NamedSharding(flat, P(None, "vocab")))
+            for g in state.Elnphi
+        ),
+    )
+    result3 = jax.jit(
+        mmctm_mod.fit, static_argnames=("config", "maxiter", "tol")
+    )(state_v, Xv, config, maxiter=1)
+    assert np.all(np.isfinite(np.asarray(result3.ll)))

@@ -191,3 +191,30 @@ class TestFuzz:
             assert np.isfinite(model.elbo), (trial, K_, V_, D_)
             for p in model.props[0]:
                 np.testing.assert_allclose(p.sum(), 1.0, rtol=1e-4)
+
+
+class TestPCAWGScale:
+    def test_pcawg_shaped_config_smoke(self):
+        """PCAWG-scale shapes (BASELINE.json config 5): ~2800 samples x 3
+        modalities. Two CAVI iterations on CPU to validate shapes/memory;
+        throughput is measured on TPU via bench.py."""
+        import jax
+        import jax.numpy as jnp
+
+        from multimodalmusig_tpu.models import mmctm as mmod
+        from multimodalmusig_tpu.models.mmctm import MMCTMConfig, init_with_alpha
+
+        rng = np.random.default_rng(0)
+        config = MMCTMConfig(K=(7, 7, 5), V=(96, 48, 24), D=2800, dtype=jnp.float32)
+        X = tuple(
+            jnp.asarray(rng.integers(0, 12, size=(config.D, V)), jnp.float32)
+            for V in config.V
+        )
+        alpha = jnp.asarray([0.1, 0.1, 0.1], jnp.float32)
+        state = init_with_alpha(jax.random.key(0), config, X, alpha)
+        result = jax.jit(
+            mmod.fit, static_argnames=("config", "maxiter", "tol")
+        )(state, X, config, maxiter=2)
+        ll = np.asarray(result.ll)
+        assert ll.shape == (3,)
+        assert np.all(np.isfinite(ll))
