@@ -471,6 +471,10 @@ class ILDA:
 
     fit_ = fit
 
+    def __repr__(self):
+        status = f"fitted, ll={self.ll:.5f}" if self.ll is not None else "unfitted"
+        return f"ILDA(K={self.K}, D={self.D}, I={self.I}, J={self.J}, {status})"
+
 
 def transform(model: ILDA, X, maxiter: int = 1000, tol: float = 1e-4, verbose: bool = False):
     """ILDA fold-in; returns θ (K, D_new). Fixes the reference's dead code

@@ -695,6 +695,12 @@ class IMMCTM:
 
     fit_ = fit
 
+    def __repr__(self):
+        status = (
+            f"fitted, ll={[round(v, 5) for v in self.ll]}" if self.ll is not None else "unfitted"
+        )
+        return f"IMMCTM(K={self.K}, D={self.D}, V={self.V}, {status})"
+
 
 def transform(
     model: IMMCTM,

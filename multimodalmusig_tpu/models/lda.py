@@ -418,6 +418,10 @@ class LDA:
 
     fit_ = fit  # `fit!` spelling
 
+    def __repr__(self):
+        status = f"fitted, ll={self.ll:.5f}" if self.ll is not None else "unfitted"
+        return f"LDA(K={self.K}, D={self.D}, V={self.V}, {status})"
+
 
 def _jit_fit(state, X, config, maxiter, tol, verbose):
     return jax.jit(fit, static_argnames=("config", "maxiter", "tol", "verbose"))(

@@ -741,6 +741,12 @@ class MMCTM:
 
     fit_ = fit
 
+    def __repr__(self):
+        status = (
+            f"fitted, ll={[round(v, 5) for v in self.ll]}" if self.ll is not None else "unfitted"
+        )
+        return f"MMCTM(K={self.K}, D={self.D}, V={self.V}, {status})"
+
 
 def init_with_alpha(key, config, Xdense, alpha, init_method="random"):
     """init() plus the user's α vector (the reference stores α in the model,

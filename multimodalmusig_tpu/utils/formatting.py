@@ -74,7 +74,14 @@ def sparse_to_dense(X: Sequence[np.ndarray], V: int, dtype=np.float64) -> np.nda
     for d, doc in enumerate(X):
         doc = np.asarray(doc)
         if doc.shape[0] > 0:
-            np.add.at(dense[d], doc[:, 0].astype(np.int64) - 1, doc[:, 1])
+            idx = doc[:, 0].astype(np.int64)
+            if idx.min() < 1 or idx.max() > V:
+                raise ValueError(
+                    f"document {d}: vocab indices must be in 1..{V} "
+                    f"(got {int(idx.min())}..{int(idx.max())}); indices are "
+                    "1-based as in the reference format"
+                )
+            np.add.at(dense[d], idx - 1, doc[:, 1])
     return dense
 
 
