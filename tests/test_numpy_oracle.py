@@ -365,3 +365,78 @@ class TestIMMCTMOracle:
                 np.testing.assert_allclose(
                     np.asarray(st2.gamma[m][i]), expected, rtol=1e-9
                 )
+
+
+class TestLDAOracle:
+    """LDA batched updates vs explicit loops on random state (D2, V2 above
+    are MMCTM-sized; here plain LDA shapes)."""
+
+    Dl, Vl, Kl = 5, 9, 4
+
+    def _setup(self, rng):
+        X = rng.integers(0, 7, size=(self.Dl, self.Vl)).astype(np.float64)
+        lam = rng.uniform(0.5, 9.0, size=(self.Vl, self.Kl))
+        gamma = rng.uniform(0.5, 9.0, size=(self.Dl, self.Kl))
+        phi = rng.dirichlet(np.ones(self.Kl), size=(self.Dl, self.Vl))
+        return X, lam, gamma, phi
+
+    def test_updates_and_elbo(self, rng):
+        from multimodalmusig_tpu.models import lda as lmod
+        from multimodalmusig_tpu.models.lda import LDAConfig, LDAState
+        from multimodalmusig_tpu.ops.special import dirichlet_expectation
+
+        X, lam, gamma, phi = self._setup(rng)
+        alpha, eta = 0.1, 0.2
+        cfg = LDAConfig(K=self.Kl, V=self.Vl, D=self.Dl, alpha=alpha, eta=eta,
+                        dtype=jnp.float64)
+        state = LDAState(
+            lam=jnp.asarray(lam),
+            Elnbeta=dirichlet_expectation(jnp.asarray(lam), axis=0),
+            gamma=jnp.asarray(gamma),
+            Elntheta=dirichlet_expectation(jnp.asarray(gamma), axis=1),
+            phi=jnp.asarray(phi),
+        )
+
+        # γ update: α + Σ_v X[d,v] φ[d,v,k]
+        st2 = lmod.update_gamma(state, jnp.asarray(X), cfg)
+        for d in range(self.Dl):
+            for k in range(self.Kl):
+                expected = alpha + sum(
+                    X[d, v] * phi[d, v, k] for v in range(self.Vl)
+                )
+                np.testing.assert_allclose(float(st2.gamma[d, k]), expected, rtol=1e-10)
+
+        # λ update: η + Σ_d X[d,v] φ[d,v,k]
+        st3 = lmod.update_lambda(state, jnp.asarray(X), cfg)
+        for v in range(self.Vl):
+            for k in range(self.Kl):
+                expected = eta + sum(
+                    X[d, v] * phi[d, v, k] for d in range(self.Dl)
+                )
+                np.testing.assert_allclose(float(st3.lam[v, k]), expected, rtol=1e-10)
+
+        # ELBO vs loop re-derivation (incl. the reference's unweighted,
+        # presence-masked ElnQZ — src/LDA.jl:160-166)
+        got = float(lmod.calculate_elbo(state, jnp.asarray(X), cfg))
+        Elnb = digamma(lam) - digamma(lam.sum(axis=0, keepdims=True))
+        Elnt = digamma(gamma) - digamma(gamma.sum(axis=1, keepdims=True))
+        K_, V_, D_ = self.Kl, self.Vl, self.Dl
+        ElnPb = K_ * (gammaln(V_ * eta) - V_ * gammaln(eta)) + (eta - 1) * Elnb.sum()
+        ElnPt = D_ * (gammaln(K_ * alpha) - K_ * gammaln(alpha)) + (alpha - 1) * Elnt.sum()
+        ElnPZ = sum(
+            phi[d, v, k] * Elnt[d, k] * X[d, v]
+            for d in range(D_) for v in range(V_) for k in range(K_)
+        )
+        ElnPX = sum(
+            phi[d, v, k] * Elnb[v, k] * X[d, v]
+            for d in range(D_) for v in range(V_) for k in range(K_)
+        )
+        ElnQb = gammaln(lam).sum() - gammaln(lam.sum(axis=0)).sum() - ((lam - 1) * Elnb).sum()
+        ElnQt = gammaln(gamma).sum() - gammaln(gamma.sum(axis=1)).sum() - ((gamma - 1) * Elnt).sum()
+        ElnQZ = sum(
+            phi[d, v, k] * np.log(phi[d, v, k])
+            for d in range(D_) for v in range(V_) for k in range(K_)
+            if X[d, v] > 0
+        )
+        expected = ElnPb + ElnPt + ElnPZ + ElnPX - ElnQb - ElnQt - ElnQZ
+        np.testing.assert_allclose(got, expected, rtol=1e-8)
