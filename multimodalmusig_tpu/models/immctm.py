@@ -88,7 +88,8 @@ class IMMCTMState(NamedTuple):
     lam: jnp.ndarray                               # (D, MK)
     nu: jnp.ndarray                                # (D, MK)
     zeta: jnp.ndarray                              # (D, M)
-    theta: Tuple[jnp.ndarray, ...]                 # per modality (D, V_m, K_m)
+    lam_pre: jnp.ndarray                           # λ used by the last θ update
+    logw_pre: Tuple[jnp.ndarray, ...]              # (V_m, K_m) Σ_i Elnϕ then
 
 
 class IMMCTMFitResult(NamedTuple):
@@ -139,9 +140,11 @@ def init(
         lam=lam,
         nu=nu,
         zeta=jnp.ones((D, config.M), dt),
-        theta=tuple(
-            jnp.full((D, config.V[m], config.K[m]), 1.0 / config.K[m], dt)
-            for m in range(config.M)
+        # zero log-weights ⇒ reconstructed θ is the uniform init θ of the
+        # reference (src/IMMCTM.jl:52-58) until the first E-step
+        lam_pre=lam,
+        logw_pre=tuple(
+            jnp.zeros((config.V[m], config.K[m]), dt) for m in range(config.M)
         ),
     )
     return state._replace(zeta=_base_update_zeta(lam, nu, config))
@@ -163,18 +166,29 @@ def summed_Elnphi(
     return total
 
 
+def theta_from(lam, logw, config: IMMCTMConfig) -> Tuple[jnp.ndarray, ...]:
+    """θ[d,v,:] = softmax(λ_block[d,:] + logw_m[v,:]); logw is (V_m, K_m)."""
+    return tuple(
+        jax.nn.softmax(
+            config.block(lam, m)[:, None, :] + logw[m][None, :, :], axis=-1
+        )
+        for m in range(config.M)
+    )
+
+
 def update_theta(
     state: IMMCTMState, F: Sequence[Sequence[jnp.ndarray]], config: IMMCTMConfig
 ) -> Tuple[jnp.ndarray, ...]:
     """θ[d,v,:] ∝ exp(λ_block[d,:] + Σ_i Elnϕ) (src/IMMCTM.jl:152-172)."""
-    out = []
-    for m in range(config.M):
-        logits = (
-            config.block(state.lam, m)[:, None, :]
-            + summed_Elnphi(state.Elnphi[m], F[m])[None, :, :]
-        )
-        out.append(jax.nn.softmax(logits, axis=-1))
-    return tuple(out)
+    logw = tuple(
+        summed_Elnphi(state.Elnphi[m], F[m]) for m in range(config.M)
+    )
+    return theta_from(state.lam, logw, config)
+
+
+def reconstruct_theta(state: IMMCTMState, config: IMMCTMConfig) -> Tuple[jnp.ndarray, ...]:
+    """The θ of the last E-step, from the carried (λ_pre, logw_pre)."""
+    return theta_from(state.lam_pre, state.logw_pre, config)
 
 
 def e_step(
@@ -184,16 +198,20 @@ def e_step(
     F: Sequence[Sequence[jnp.ndarray]],
     config: IMMCTMConfig,
 ) -> IMMCTMState:
-    """Batched `fitdoc!` (src/IMMCTM.jl:430-435): ζ → θ → ν → λ for all docs."""
+    """Batched `fitdoc!` (src/IMMCTM.jl:430-435): ζ → θ → ν → λ for all
+    docs. Returns (state, θ); θ is never carried (see MMCTMState docs)."""
     zeta = _base_update_zeta(state.lam, state.nu, config)
-    state = state._replace(zeta=zeta)
-    state = state._replace(theta=update_theta(state, F, config))
+    logw = tuple(
+        summed_Elnphi(state.Elnphi[m], F[m]) for m in range(config.M)
+    )
+    theta = theta_from(state.lam, logw, config)
+    state = state._replace(zeta=zeta, lam_pre=state.lam, logw_pre=logw)
 
     Ndivzeta = calculate_Ndivzeta(N, zeta, config)
     nu = solve_nu(state.nu, state.lam, Ndivzeta, state.invSigma)
-    sumtheta = calculate_sumtheta(state.theta, X, config)
+    sumtheta = calculate_sumtheta(theta, X, config)
     lam = solve_lambda(state.lam, nu, Ndivzeta, sumtheta, state.mu, state.invSigma)
-    return state._replace(nu=nu, lam=lam)
+    return state._replace(nu=nu, lam=lam), theta
 
 
 # ---------------------------------------------------------------------------
@@ -206,12 +224,15 @@ def update_gamma(
     X: Sequence[jnp.ndarray],
     F: Sequence[Sequence[jnp.ndarray]],
     config: IMMCTMConfig,
+    theta: Sequence[jnp.ndarray] = None,
 ) -> IMMCTMState:
     """γ_m,i[k,j] = α_m,i + (Σ_d X·θ) @ F_m,i (src/IMMCTM.jl:199-223)."""
+    if theta is None:
+        theta = reconstruct_theta(state, config)
     gamma = []
     for m in range(config.M):
         W = jnp.einsum(
-            "dv,dvk->kv", X[m], state.theta[m], preferred_element_type=config.dtype
+            "dv,dvk->kv", X[m], theta[m], preferred_element_type=config.dtype
         )
         gamma.append(
             tuple(state.alpha[m][i] + W @ F[m][i] for i in range(config.I[m]))
@@ -286,6 +307,7 @@ def calculate_elbo(
 ) -> jnp.ndarray:
     """7-term ELBO generalizing MMCTM's per-feature (src/IMMCTM.jl:247-360)."""
     dt = config.dtype
+    theta = reconstruct_theta(state, config)
 
     # ElnPϕ (src/IMMCTM.jl:247-260)
     ElnPphi = jnp.zeros((), dt)
@@ -297,14 +319,14 @@ def calculate_elbo(
     # ElnPη + ElnPZ − ElnQη — shared logistic-normal terms
     eta_z = elbo_eta_z_terms(
         state.lam, state.nu, state.zeta, state.mu, state.invSigma,
-        state.theta, X, N, config,
+        theta, X, N, config,
     )
 
     # ElnPX (src/IMMCTM.jl:298-316): per-feature sums
     ElnPX = jnp.zeros((), dt)
     for m in range(config.M):
         ElnPX += jnp.einsum(
-            "dv,dvk,vk->", X[m], state.theta[m], summed_Elnphi(state.Elnphi[m], F[m])
+            "dv,dvk,vk->", X[m], theta[m], summed_Elnphi(state.Elnphi[m], F[m])
         )
 
     # ElnQϕ (src/IMMCTM.jl:318-331)
@@ -317,7 +339,7 @@ def calculate_elbo(
     # ElnQZ (src/IMMCTM.jl:338-346) — count-weighted
     ElnQZ = jnp.zeros((), dt)
     for m in range(config.M):
-        ElnQZ += jnp.einsum("dv,dvk->", X[m], xlogx(state.theta[m]))
+        ElnQZ += jnp.einsum("dv,dvk->", X[m], xlogx(theta[m]))
 
     return ElnPphi + eta_z + ElnPX - ElnQphi - ElnQZ
 
@@ -343,12 +365,12 @@ def fit(
     N = counts_per_doc(X)
 
     def step(s):
-        s = e_step(s, X, N, F, config)
+        s, theta = e_step(s, X, N, F, config)
         s = s._replace(mu=update_mu_vec(s.lam))
         if update_sigma:
             Sigma, invSigma = update_Sigma_mats(s.lam, s.nu, s.mu, config.D)
             s = s._replace(Sigma=Sigma, invSigma=invSigma)
-        s = update_gamma(s, X, F, config)
+        s = update_gamma(s, X, F, config, theta)
         if autoalpha:
             s = update_alpha(s, config)
         ll_i = modality_loglikelihoods(X, s.lam, s.gamma, F, config)
@@ -388,7 +410,7 @@ def fit_heldout_states(
     )
 
     def step(s):
-        s = e_step(s, Xheldout, N, F, config)
+        s, _ = e_step(s, Xheldout, N, F, config)
         ll_i = modality_loglikelihoods(Xheldout, s.lam, s.gamma, F, config)
         return s, ll_i
 
@@ -425,7 +447,7 @@ def transform_states(
         )
 
     def step(s):
-        s = e_step(s, Xnew, N, F, config)
+        s, _ = e_step(s, Xnew, N, F, config)
         if fit_gaussian:
             s = s._replace(mu=update_mu_vec(s.lam))
             Sigma, invSigma = update_Sigma_mats(s.lam, s.nu, s.mu, config.D)
@@ -474,7 +496,7 @@ def predict_modality_eta_states(
     )
 
     def step(s):
-        s = e_step(s, Xobs, N, Fobs, obs_config)
+        s, _ = e_step(s, Xobs, N, Fobs, obs_config)
         ll_i = modality_loglikelihoods(Xobs, s.lam, s.gamma, Fobs, obs_config)
         return s, ll_i
 
@@ -636,7 +658,9 @@ class IMMCTM:
 
     @property
     def theta(self):
-        dense = [np.asarray(t) for t in self.state.theta]
+        dense = [
+            np.asarray(t) for t in reconstruct_theta(self.state, self.config)
+        ]
         out = []
         for d, doc in enumerate(self.X):
             row = []

@@ -93,9 +93,17 @@ class MMCTMState(NamedTuple):
     Reference fields (src/MMCTM.jl:1-27) and their layouts here:
       μ (MK,) · Σ/invΣ (MK, MK) · α (M,) — dynamic because autoα refits it
       γ/Elnϕ per modality (K_m, V_m) — reference nests [m][k] vectors
-      λ/ν (D, MK) — reference keeps per-document vectors
-      ζ (D, M) · θ per modality (D, V_m, K_m) — reference [d][m] (K_m, n_dm)
+      λ/ν (D, MK) — reference keeps per-document vectors · ζ (D, M)
     props and the point estimate ϕ are derived (props_from/phi_point).
+
+    The responsibilities θ (reference field at src/MMCTM.jl:18, the largest
+    tensor at (D, V_m, K_m) per modality) are deliberately NOT stored:
+    θ[d,v,:] = softmax(λ_block[d,:] + logw_m[v,:]) is fully determined by
+    the λ and log-weight tables it was computed from, so the state carries
+    only the tiny (λ_pre, logw_pre) snapshot of the last E-step. This keeps
+    the fit loop's carry free of its dominant tensor (XLA fuses the softmax
+    straight into the einsums that consume it) and reconstruction via
+    `reconstruct_theta` is bit-exact.
     """
 
     mu: jnp.ndarray
@@ -107,7 +115,8 @@ class MMCTMState(NamedTuple):
     lam: jnp.ndarray
     nu: jnp.ndarray
     zeta: jnp.ndarray
-    theta: Tuple[jnp.ndarray, ...]
+    lam_pre: jnp.ndarray                 # (D, MK) λ used by the last θ update
+    logw_pre: Tuple[jnp.ndarray, ...]    # (V_m, K_m) log-weights used then
 
 
 class MMCTMFitResult(NamedTuple):
@@ -164,9 +173,11 @@ def init(
         lam=lam,
         nu=nu,
         zeta=jnp.ones((D, M), dt),
-        theta=tuple(
-            jnp.full((D, config.V[m], config.K[m]), 1.0 / config.K[m], dt)
-            for m in range(M)
+        # zero log-weights ⇒ reconstruct_theta gives the uniform 1/K init θ
+        # of the reference (src/MMCTM.jl:52-58) until the first E-step
+        lam_pre=lam,
+        logw_pre=tuple(
+            jnp.zeros((config.V[m], config.K[m]), dt) for m in range(M)
         ),
     )
     return state._replace(zeta=update_zeta(state, config))
@@ -188,25 +199,45 @@ def update_zeta(state: MMCTMState, config: MMCTMConfig) -> jnp.ndarray:
     return _base_update_zeta(state.lam, state.nu, config)
 
 
+def theta_from(
+    lam: jnp.ndarray, logw: Sequence[jnp.ndarray], config: MMCTMConfig
+) -> Tuple[jnp.ndarray, ...]:
+    """θ[d,v,:] = softmax(λ_block[d,:] + logw_m[v,:]); logw is (V_m, K_m)."""
+    return tuple(
+        jax.nn.softmax(
+            config.block(lam, m)[:, None, :] + logw[m][None, :, :], axis=-1
+        )
+        for m in range(config.M)
+    )
+
+
+def smoothed_logw(state: MMCTMState) -> Tuple[jnp.ndarray, ...]:
+    """Training log-weights E[ln ϕ] as (V_m, K_m) tables (src/MMCTM.jl:183-198)."""
+    return tuple(e.T for e in state.Elnphi)
+
+
+def unsmoothed_logw(phi: Sequence[jnp.ndarray]) -> Tuple[jnp.ndarray, ...]:
+    """Inference log-weights ln ϕ from point estimates (src/MMCTM.jl:496-509)."""
+    return tuple(jnp.log(p).T for p in phi)
+
+
 def update_theta(state: MMCTMState, config: MMCTMConfig) -> Tuple[jnp.ndarray, ...]:
     """θ[d,v,:] ∝ exp(λ_block[d,:] + Elnϕ_m[:,v]) (src/MMCTM.jl:183-198),
     computed as a stabilized softmax (identical values)."""
-    out = []
-    for m in range(config.M):
-        logits = config.block(state.lam, m)[:, None, :] + state.Elnphi[m].T[None, :, :]
-        out.append(jax.nn.softmax(logits, axis=-1))
-    return tuple(out)
+    return theta_from(state.lam, smoothed_logw(state), config)
+
+
+def reconstruct_theta(state: MMCTMState, config: MMCTMConfig) -> Tuple[jnp.ndarray, ...]:
+    """The θ of the last E-step, reconstructed exactly from the carried
+    (λ_pre, logw_pre) snapshot (see MMCTMState docstring)."""
+    return theta_from(state.lam_pre, state.logw_pre, config)
 
 
 def unsmoothed_update_theta(
     state: MMCTMState, phi: Sequence[jnp.ndarray], config: MMCTMConfig
 ) -> Tuple[jnp.ndarray, ...]:
     """Inference-mode θ using the point estimate ϕ (src/MMCTM.jl:496-509)."""
-    out = []
-    for m in range(config.M):
-        logits = config.block(state.lam, m)[:, None, :] + jnp.log(phi[m]).T[None, :, :]
-        out.append(jax.nn.softmax(logits, axis=-1))
-    return tuple(out)
+    return theta_from(state.lam, unsmoothed_logw(phi), config)
 
 
 def e_step(
@@ -214,24 +245,25 @@ def e_step(
     X: Sequence[jnp.ndarray],
     N: jnp.ndarray,
     config: MMCTMConfig,
-    theta_fn=update_theta,
-) -> MMCTMState:
+    logw_fn=smoothed_logw,
+):
     """Batched `fitdoc!` (src/MMCTM.jl:450-455): ζ → θ → ν → λ for all docs.
 
     Matches the reference's within-iteration data flow exactly: θ uses the
     pre-update λ; both solvers use the ζ from the start of the E-step; the
-    ν solve uses the pre-update λ.
+    ν solve uses the pre-update λ. Returns (state, θ) — θ is a per-iteration
+    local, never carried (see MMCTMState docstring).
     """
     zeta = update_zeta(state, config)
-    state = state._replace(zeta=zeta)
-    theta = theta_fn(state, config)
-    state = state._replace(theta=theta)
+    logw = logw_fn(state)
+    theta = theta_from(state.lam, logw, config)
+    state = state._replace(zeta=zeta, lam_pre=state.lam, logw_pre=logw)
 
     Ndivzeta = calculate_Ndivzeta(N, zeta, config)
     nu = solve_nu(state.nu, state.lam, Ndivzeta, state.invSigma)
     sumtheta = calculate_sumtheta(theta, X, config)
     lam = solve_lambda(state.lam, nu, Ndivzeta, sumtheta, state.mu, state.invSigma)
-    return state._replace(nu=nu, lam=lam)
+    return state._replace(nu=nu, lam=lam), theta
 
 
 # ---------------------------------------------------------------------------
@@ -252,14 +284,20 @@ def update_Sigma(state: MMCTMState, config: MMCTMConfig) -> MMCTMState:
 
 
 def update_gamma(
-    state: MMCTMState, X: Sequence[jnp.ndarray], config: MMCTMConfig
+    state: MMCTMState,
+    X: Sequence[jnp.ndarray],
+    config: MMCTMConfig,
+    theta: Sequence[jnp.ndarray] = None,
 ) -> MMCTMState:
     """γ_m[k,v] = α_m + Σ_d X_m[d,v]·θ_m[d,v,k], then E[ln ϕ]
-    (src/MMCTM.jl:224-250, 214-222)."""
+    (src/MMCTM.jl:224-250, 214-222). θ defaults to the last E-step's
+    (reconstructed)."""
+    if theta is None:
+        theta = reconstruct_theta(state, config)
     gamma = tuple(
         state.alpha[m]
         + jnp.einsum(
-            "dv,dvk->kv", X[m], state.theta[m], preferred_element_type=config.dtype
+            "dv,dvk->kv", X[m], theta[m], preferred_element_type=config.dtype
         )
         for m in range(config.M)
     )
@@ -297,8 +335,11 @@ def calculate_elbo(
     state: MMCTMState, X: Sequence[jnp.ndarray], N: jnp.ndarray, config: MMCTMConfig
 ) -> jnp.ndarray:
     """The 7-term logistic-normal + Dirichlet ELBO with the Blei-Lafferty
-    ζ bound (src/MMCTM.jl:271-382)."""
+    ζ bound (src/MMCTM.jl:271-382). Uses the last E-step's θ (reconstructed
+    from the carried snapshot), exactly as the reference computes the final
+    ELBO from the θ of the last fitdoc! (src/MMCTM.jl:490)."""
     dt = config.dtype
+    theta = reconstruct_theta(state, config)
 
     # ElnPϕ (src/MMCTM.jl:271-284)
     ElnPphi = jnp.zeros((), dt)
@@ -309,13 +350,13 @@ def calculate_elbo(
     # ElnPη + ElnPZ − ElnQη (src/MMCTM.jl:286-318, 354-360) — shared base
     eta_z = elbo_eta_z_terms(
         state.lam, state.nu, state.zeta, state.mu, state.invSigma,
-        state.theta, X, N, config,
+        theta, X, N, config,
     )
 
     # ElnPX (src/MMCTM.jl:320-338)
     ElnPX = jnp.zeros((), dt)
     for m in range(config.M):
-        ElnPX += jnp.einsum("dv,dvk,kv->", X[m], state.theta[m], state.Elnphi[m])
+        ElnPX += jnp.einsum("dv,dvk,kv->", X[m], theta[m], state.Elnphi[m])
 
     # ElnQϕ (src/MMCTM.jl:340-352)
     ElnQphi = jnp.zeros((), dt)
@@ -326,7 +367,7 @@ def calculate_elbo(
     # ElnQZ (src/MMCTM.jl:362-370) — count-weighted here (unlike LDA's)
     ElnQZ = jnp.zeros((), dt)
     for m in range(config.M):
-        ElnQZ += jnp.einsum("dv,dvk->", X[m], xlogx(state.theta[m]))
+        ElnQZ += jnp.einsum("dv,dvk->", X[m], xlogx(theta[m]))
 
     return ElnPphi + eta_z + ElnPX - ElnQphi - ElnQZ
 
@@ -379,11 +420,11 @@ def fit_step_fn(
     normalized γ."""
 
     def step(s):
-        s = e_step(s, X, N, config)
+        s, theta = e_step(s, X, N, config)
         s = update_mu(s)
         if update_sigma:
             s = update_Sigma(s, config)
-        s = update_gamma(s, X, config)
+        s = update_gamma(s, X, config, theta)
         if autoalpha:
             s = update_alpha(s, config)
         ll_i = modality_loglikelihoods(X, props_from(s.lam, config), phi_point(s.gamma))
@@ -446,11 +487,10 @@ def transform_states(
             mu=trained.mu, Sigma=trained.Sigma, invSigma=_spd_inverse(trained.Sigma)
         )
 
+    logw_phi = unsmoothed_logw(phi)
+
     def step(s):
-        s = e_step(
-            s, Xnew, N, config,
-            theta_fn=lambda st, cfg: unsmoothed_update_theta(st, phi, cfg),
-        )
+        s, _ = e_step(s, Xnew, N, config, logw_fn=lambda st: logw_phi)
         if fit_gaussian:
             s = update_mu(s)
             s = update_Sigma(s, config)
@@ -492,7 +532,7 @@ def fit_heldout_states(
     phi = phi_point(trained.gamma)
 
     def step(s):
-        s = e_step(s, Xheldout, N, config)
+        s, _ = e_step(s, Xheldout, N, config)
         ll_i = modality_loglikelihoods(Xheldout, props_from(s.lam, config), phi)
         return s, ll_i
 
@@ -543,7 +583,7 @@ def predict_modality_eta_states(
     phi = phi_point(obs_state.gamma)
 
     def step(s):
-        s = e_step(s, Xobs, N, obs_config)
+        s, _ = e_step(s, Xobs, N, obs_config)
         ll_i = modality_loglikelihoods(Xobs, props_from(s.lam, obs_config), phi)
         return s, ll_i
 
@@ -679,8 +719,12 @@ class MMCTM:
 
     @property
     def theta(self):
-        """θ[d][m] as (K_m, n_dm) over the doc's sparse rows (reference layout)."""
-        dense = [np.asarray(t) for t in self.state.theta]
+        """θ[d][m] as (K_m, n_dm) over the doc's sparse rows (reference
+        layout), reconstructed from the carried (λ_pre, logw_pre) snapshot
+        (exactly the last E-step's θ)."""
+        dense = [
+            np.asarray(t) for t in reconstruct_theta(self.state, self.config)
+        ]
         out = []
         for d, doc in enumerate(self.X):
             row = []

@@ -93,10 +93,8 @@ def sharded_data_parallel_fit(
         lam=jax.device_put(state.lam, NamedSharding(data_mesh, P("data", None))),
         nu=jax.device_put(state.nu, NamedSharding(data_mesh, P("data", None))),
         zeta=jax.device_put(state.zeta, NamedSharding(data_mesh, P("data", None))),
-        theta=tuple(
-            jax.device_put(t, NamedSharding(data_mesh, P("data", None, None)))
-            for t in state.theta
-        ),
+        lam_pre=jax.device_put(state.lam_pre, NamedSharding(data_mesh, P("data", None))),
+        logw_pre=tuple(jax.device_put(w, replicated) for w in state.logw_pre),
         mu=jax.device_put(state.mu, replicated),
         Sigma=jax.device_put(state.Sigma, replicated),
         invSigma=jax.device_put(state.invSigma, replicated),

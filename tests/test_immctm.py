@@ -117,8 +117,10 @@ class TestUpdateGamma:
         theta = [np.zeros((2, 4, 2)), np.zeros((2, 4, 3))]
         theta[0][0, 0:2, :] = np.array([[0.4, 0.1], [0.6, 0.9]]).T
         theta[0][1, 2:4, :] = np.array([[0.3, 0.5], [0.7, 0.5]]).T
-        state = model.state._replace(theta=tuple(jnp.asarray(t) for t in theta))
-        state = mod.update_gamma(state, model.Xdense, model.F, model.config)
+        state = mod.update_gamma(
+            model.state, model.Xdense, model.F, model.config,
+            tuple(jnp.asarray(t) for t in theta),
+        )
 
         # modality 1, topic 1: feature 1 (j from term block), feature 2 (j from parity)
         g1 = [0.1 + 5 * 0.4 + 8 * 0.1, 0.1 + 4 * 0.3 + 9 * 0.5]
@@ -219,7 +221,7 @@ class TestFit:
     def test_estep_no_nans(self, model):
         N = mod.counts_per_doc(model.Xdense)
         lam0 = np.array(model.state.lam)
-        state = mod.e_step(model.state, model.Xdense, N, model.F, model.config)
+        state, theta = mod.e_step(model.state, model.Xdense, N, model.F, model.config)
         assert np.all(np.isfinite(np.asarray(state.lam)))
         assert not np.allclose(np.asarray(state.lam), lam0)
         assert np.all(np.asarray(state.nu) > 0)

@@ -174,8 +174,10 @@ class TestUpdateGamma:
         theta[0][1, 2:4, :] = np.array([[0.3, 0.5], [0.7, 0.5]]).T
         theta[1][0, 0:2, :] = np.array([[0.2, 0.6], [0.7, 0.3], [0.1, 0.1]]).T
         theta[1][1, 2:4, :] = np.array([[0.1, 0.3], [0.7, 0.5], [0.2, 0.2]]).T
-        state = model.state._replace(theta=tuple(jnp.asarray(t) for t in theta))
-        state = mod.update_gamma(state, model.Xdense, model.config)
+        state = mod.update_gamma(
+            model.state, model.Xdense, model.config,
+            tuple(jnp.asarray(t) for t in theta),
+        )
 
         g = np.asarray(state.gamma[0])
         np.testing.assert_allclose(
@@ -217,7 +219,7 @@ class TestSolverSmoke:
         model = make_model(mmctm_fixture)
         lam0 = np.array(model.state.lam)
         N = mod.counts_per_doc(model.Xdense)
-        state = mod.e_step(model.state, model.Xdense, N, model.config)
+        state, theta = mod.e_step(model.state, model.Xdense, N, model.config)
         lam = np.asarray(state.lam)
         nu = np.asarray(state.nu)
         assert np.all(np.isfinite(lam))

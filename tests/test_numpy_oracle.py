@@ -47,8 +47,6 @@ def to_jax_state(X, s, theta=None):
         jnp.asarray(digamma(g) - digamma(g.sum(axis=1, keepdims=True)))
         for g in s["gamma"]
     )
-    if theta is None:
-        theta = tuple(jnp.full((D, V[m], K[m]), 1.0 / K[m]) for m in range(M))
     lam = jnp.asarray(s["lam"])
     nu = jnp.asarray(s["nu"])
     state = mod.MMCTMState(
@@ -61,7 +59,8 @@ def to_jax_state(X, s, theta=None):
         lam=lam,
         nu=nu,
         zeta=ctm_base.update_zeta(lam, nu, config),
-        theta=theta,
+        lam_pre=lam,
+        logw_pre=tuple(e.T for e in Elnphi),
     )
     return state, config
 
@@ -110,7 +109,11 @@ class TestEStepPieces:
         theta = loop_theta(s)
         state, config = to_jax_state(X, s, tuple(jnp.asarray(t) for t in theta))
         got = np.asarray(
-            ctm_base.calculate_sumtheta(state.theta, tuple(jnp.asarray(x) for x in X), config)
+            ctm_base.calculate_sumtheta(
+                tuple(jnp.asarray(t) for t in theta),
+                tuple(jnp.asarray(x) for x in X),
+                config,
+            )
         )
         expected = np.zeros((D, MK))
         for d in range(D):
@@ -154,7 +157,10 @@ class TestMStepPieces:
         X, s = setup
         theta = loop_theta(s)
         state, config = to_jax_state(X, s, tuple(jnp.asarray(t) for t in theta))
-        st2 = mod.update_gamma(state, tuple(jnp.asarray(x) for x in X), config)
+        st2 = mod.update_gamma(
+            state, tuple(jnp.asarray(x) for x in X), config,
+            tuple(jnp.asarray(t) for t in theta),
+        )
         for m in range(M):
             expected = np.full((K[m], V[m]), s["alpha"][m])
             for d in range(D):
@@ -312,7 +318,8 @@ class TestIMMCTMOracle:
             Elnphi=Elnphi,
             lam=jnp.asarray(lam), nu=jnp.ones((D, MK)),
             zeta=jnp.ones((D, M)),
-            theta=tuple(jnp.full((D, V[m], K[m]), 1.0 / K[m]) for m in range(M)),
+            lam_pre=jnp.asarray(lam),
+            logw_pre=tuple(jnp.zeros((V[m], K[m])) for m in range(M)),
         )
         got = imod.update_theta(state, F, cfg)
 
@@ -350,9 +357,13 @@ class TestIMMCTMOracle:
             ),
             lam=jnp.asarray(lam), nu=jnp.ones((D, MK)),
             zeta=jnp.ones((D, M)),
-            theta=tuple(jnp.asarray(t) for t in theta),
+            lam_pre=jnp.asarray(lam),
+            logw_pre=tuple(jnp.zeros((V[m], K[m])) for m in range(M)),
         )
-        st2 = imod.update_gamma(state, tuple(jnp.asarray(x) for x in X), F, cfg)
+        st2 = imod.update_gamma(
+            state, tuple(jnp.asarray(x) for x in X), F, cfg,
+            tuple(jnp.asarray(t) for t in theta),
+        )
         alphas = [[0.1, 0.3], [0.2, 0.4]]
         for m in range(M):
             for i in range(2):
