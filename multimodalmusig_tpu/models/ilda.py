@@ -67,7 +67,10 @@ class ILDAState(NamedTuple):
     Elnbeta: Tuple[jnp.ndarray, ...]  # per feature (J_i, K)
     gamma: jnp.ndarray                # (D, K)
     Elntheta: jnp.ndarray             # (D, K)
-    phi: jnp.ndarray                  # (D, V, K)
+    # ϕ (D, V, K) is not stored — reconstructed exactly from the snapshot
+    # the last ϕ-update consumed (see models/lda.py LDAState for rationale)
+    Elntheta_pre: jnp.ndarray         # (D, K)
+    logw_pre: jnp.ndarray             # (V, K) Σ_i Elnβ_i or Σ_i ln β_i
 
 
 class ILDAFitResult(NamedTuple):
@@ -109,7 +112,9 @@ def init(key: jax.Array, config: ILDAConfig) -> ILDAState:
         Elnbeta=tuple(dirichlet_expectation(l, axis=0) for l in lam),
         gamma=gamma,
         Elntheta=dirichlet_expectation(gamma, axis=1),
-        phi=jnp.full((config.D, config.V, config.K), 1.0 / config.K, dt),
+        # zero snapshots ⇒ reconstructed ϕ is the uniform init (src/ILDA.jl:44-47)
+        Elntheta_pre=jnp.zeros((config.D, config.K), dt),
+        logw_pre=jnp.zeros((config.V, config.K), dt),
     )
 
 
@@ -129,34 +134,51 @@ def summed_Elnbeta(
     return total
 
 
+def phi_from(Elntheta: jnp.ndarray, logw: jnp.ndarray) -> jnp.ndarray:
+    """(D, V, K) responsibilities: softmax over topics of Elnθ[d,:]+logw[v,:]."""
+    return jax.nn.softmax(Elntheta[:, None, :] + logw[None, :, :], axis=-1)
+
+
+def reconstruct_phi(state: ILDAState) -> jnp.ndarray:
+    """The ϕ of the last ϕ-update, from the carried snapshot (exact)."""
+    return phi_from(state.Elntheta_pre, state.logw_pre)
+
+
 def update_phi(state: ILDAState, F: Sequence[jnp.ndarray]) -> ILDAState:
     """ϕ[d,v,:] ∝ exp(Elnθ[d,:] + Σ_i Elnβ_i[j_v,:]) (src/ILDA.jl:65-79)."""
-    logits = state.Elntheta[:, None, :] + summed_Elnbeta(state.Elnbeta, F)[None, :, :]
-    return state._replace(phi=jax.nn.softmax(logits, axis=-1))
+    return state._replace(
+        Elntheta_pre=state.Elntheta, logw_pre=summed_Elnbeta(state.Elnbeta, F)
+    )
 
 
 def unsmoothed_update_phi(
     state: ILDAState, beta: Sequence[jnp.ndarray], F: Sequence[jnp.ndarray]
 ) -> ILDAState:
     """Inference-mode ϕ using point β products (src/ILDA.jl:274-290)."""
-    logB = summed_Elnbeta(tuple(jnp.log(b) for b in beta), F)  # (V, K) = Σ_i log β_i
-    weights = jnp.exp(state.Elntheta)[:, None, :] * jnp.exp(logB)[None, :, :]
-    return state._replace(phi=weights / jnp.sum(weights, axis=-1, keepdims=True))
+    logB = summed_Elnbeta(tuple(jnp.log(b) for b in beta), F)  # Σ_i log β_i
+    return state._replace(Elntheta_pre=state.Elntheta, logw_pre=logB)
 
 
-def update_gamma(state: ILDAState, X: jnp.ndarray, config: ILDAConfig) -> ILDAState:
+def update_gamma(
+    state: ILDAState, X: jnp.ndarray, config: ILDAConfig, phi: jnp.ndarray = None
+) -> ILDAState:
     """γ[d,:] = α + ϕ_d·counts_d (src/ILDA.jl:85-93)."""
+    if phi is None:
+        phi = reconstruct_phi(state)
     gamma = config.alpha + jnp.einsum(
-        "dv,dvk->dk", X, state.phi, preferred_element_type=config.dtype
+        "dv,dvk->dk", X, phi, preferred_element_type=config.dtype
     )
     return state._replace(gamma=gamma, Elntheta=dirichlet_expectation(gamma, axis=1))
 
 
 def update_lambda(
-    state: ILDAState, X: jnp.ndarray, F: Sequence[jnp.ndarray], config: ILDAConfig
+    state: ILDAState, X: jnp.ndarray, F: Sequence[jnp.ndarray],
+    config: ILDAConfig, phi: jnp.ndarray = None
 ) -> ILDAState:
     """λ_i[j,:] = η_i + F_iᵀ·(Σ_d X·ϕ) (src/ILDA.jl:107-126)."""
-    W = jnp.einsum("dv,dvk->vk", X, state.phi, preferred_element_type=config.dtype)
+    if phi is None:
+        phi = reconstruct_phi(state)
+    W = jnp.einsum("dv,dvk->vk", X, phi, preferred_element_type=config.dtype)
     lam = tuple(
         config.eta[i] + F[i].T @ W for i in range(config.I)
     )
@@ -198,9 +220,10 @@ def calculate_elbo(
 ) -> jnp.ndarray:
     """Dirichlet-multinomial ELBO with per-feature β terms
     (src/ILDA.jl:132-207; ElnQβ accumulation bug fixed — see module docs)."""
+    phi = reconstruct_phi(state)
     K, D = config.K, config.D
     alpha = config.alpha
-    present = (X > 0).astype(state.phi.dtype)
+    present = (X > 0).astype(phi.dtype)
 
     ElnPbeta = jnp.zeros((), config.dtype)
     for i in range(config.I):
@@ -209,8 +232,8 @@ def calculate_elbo(
         ElnPbeta += (eta_i - 1.0) * jnp.sum(state.Elnbeta[i])
 
     ElnPtheta = D * (gammaln(K * alpha) - K * gammaln(alpha)) + (alpha - 1.0) * jnp.sum(state.Elntheta)
-    ElnPZ = jnp.einsum("dvk,dk,dv->", state.phi, state.Elntheta, X)
-    ElnPX = jnp.einsum("dvk,vk,dv->", state.phi, summed_Elnbeta(state.Elnbeta, F), X)
+    ElnPZ = jnp.einsum("dvk,dk,dv->", phi, state.Elntheta, X)
+    ElnPX = jnp.einsum("dvk,vk,dv->", phi, summed_Elnbeta(state.Elnbeta, F), X)
 
     ElnQbeta = jnp.zeros((), config.dtype)
     for i in range(config.I):
@@ -226,7 +249,7 @@ def calculate_elbo(
         - jnp.sum((state.gamma - 1.0) * state.Elntheta)
     )
     # unweighted over present tokens, as in LDA (src/ILDA.jl:183-189)
-    ElnQZ = jnp.sum(xlogx(state.phi) * present[:, :, None])
+    ElnQZ = jnp.sum(xlogx(phi) * present[:, :, None])
 
     return ElnPbeta + ElnPtheta + ElnPZ + ElnPX - ElnQbeta - ElnQtheta - ElnQZ
 
@@ -440,7 +463,7 @@ class ILDA:
 
     @property
     def phi(self) -> List[np.ndarray]:
-        dense = np.asarray(self.state.phi)
+        dense = np.asarray(reconstruct_phi(self.state))
         out = []
         for d, doc in enumerate(self.X):
             idx = doc[:, 0].astype(np.int64) - 1

@@ -55,11 +55,18 @@ class LDAState(NamedTuple):
     are restored by the wrapper's accessor properties.
     """
 
-    lam: jnp.ndarray       # (V, K) topic-word Dirichlet variational params λ
-    Elnbeta: jnp.ndarray   # (V, K) E[ln β]
-    gamma: jnp.ndarray     # (D, K) doc-topic Dirichlet variational params γ
-    Elntheta: jnp.ndarray  # (D, K) E[ln θ]
-    phi: jnp.ndarray       # (D, V, K) token responsibilities ϕ
+    lam: jnp.ndarray           # (V, K) topic-word Dirichlet variational params λ
+    Elnbeta: jnp.ndarray       # (V, K) E[ln β]
+    gamma: jnp.ndarray         # (D, K) doc-topic Dirichlet variational params γ
+    Elntheta: jnp.ndarray      # (D, K) E[ln θ]
+    # The responsibilities ϕ (reference field src/LDA.jl:14, the dominant
+    # (D, V, K) tensor) are not stored: ϕ = softmax(Elnθ_pre + logw_pre) is
+    # fully determined by the tables the last ϕ-update consumed, so only that
+    # tiny snapshot is carried and ϕ reconstructs exactly (phi_from /
+    # reconstruct_phi). Zero snapshots at init reproduce the reference's
+    # uniform 1/K init ϕ (src/LDA.jl:47-50).
+    Elntheta_pre: jnp.ndarray  # (D, K)
+    logw_pre: jnp.ndarray      # (V, K) Elnβ (training) or ln β (inference)
 
 
 class LDAFitResult(NamedTuple):
@@ -84,13 +91,13 @@ def init(key: jax.Array, config: LDAConfig) -> LDAState:
     dt = config.dtype
     lam = jax.random.randint(key, (config.V, config.K), 1, 101).astype(dt)
     gamma = jnp.ones((config.D, config.K), dt)
-    phi = jnp.full((config.D, config.V, config.K), 1.0 / config.K, dt)
     return LDAState(
         lam=lam,
         Elnbeta=dirichlet_expectation(lam, axis=0),
         gamma=gamma,
         Elntheta=dirichlet_expectation(gamma, axis=1),
-        phi=phi,
+        Elntheta_pre=jnp.zeros((config.D, config.K), dt),
+        logw_pre=jnp.zeros((config.V, config.K), dt),
     )
 
 
@@ -99,31 +106,48 @@ def init(key: jax.Array, config: LDAConfig) -> LDAState:
 # ---------------------------------------------------------------------------
 
 
-def update_gamma(state: LDAState, X: jnp.ndarray, config: LDAConfig) -> LDAState:
-    """γ[d,:] = α + ϕ_d·counts_d, then refresh E[ln θ] (src/LDA.jl:82-90)."""
+def phi_from(Elntheta: jnp.ndarray, logw: jnp.ndarray) -> jnp.ndarray:
+    """(D, V, K) responsibilities: softmax over topics of Elnθ[d,:]+logw[v,:]."""
+    return jax.nn.softmax(Elntheta[:, None, :] + logw[None, :, :], axis=-1)
+
+
+def reconstruct_phi(state: LDAState) -> jnp.ndarray:
+    """The ϕ of the last ϕ-update, from the carried snapshot (exact)."""
+    return phi_from(state.Elntheta_pre, state.logw_pre)
+
+
+def update_gamma(
+    state: LDAState, X: jnp.ndarray, config: LDAConfig, phi: jnp.ndarray = None
+) -> LDAState:
+    """γ[d,:] = α + ϕ_d·counts_d, then refresh E[ln θ] (src/LDA.jl:82-90).
+    ϕ defaults to the last ϕ-update's (reconstructed)."""
+    if phi is None:
+        phi = reconstruct_phi(state)
     gamma = config.alpha + jnp.einsum(
-        "dv,dvk->dk", X, state.phi, preferred_element_type=config.dtype
+        "dv,dvk->dk", X, phi, preferred_element_type=config.dtype
     )
     return state._replace(gamma=gamma, Elntheta=dirichlet_expectation(gamma, axis=1))
 
 
 def update_phi(state: LDAState) -> LDAState:
-    """ϕ[d,v,:] ∝ exp(Elnθ[d,:] + Elnβ[v,:]) (src/LDA.jl:69-76)."""
-    logits = state.Elntheta[:, None, :] + state.Elnbeta[None, :, :]
-    return state._replace(phi=jax.nn.softmax(logits, axis=-1))
+    """ϕ[d,v,:] ∝ exp(Elnθ[d,:] + Elnβ[v,:]) (src/LDA.jl:69-76). Records the
+    snapshot the reconstruction replays."""
+    return state._replace(Elntheta_pre=state.Elntheta, logw_pre=state.Elnbeta)
 
 
 def unsmoothed_update_phi(state: LDAState, beta: jnp.ndarray) -> LDAState:
     """Inference-mode ϕ using the point estimate β (src/LDA.jl:226-231)."""
-    weights = jnp.exp(state.Elntheta)[:, None, :] * beta[None, :, :]
-    phi = weights / jnp.sum(weights, axis=-1, keepdims=True)
-    return state._replace(phi=phi)
+    return state._replace(Elntheta_pre=state.Elntheta, logw_pre=jnp.log(beta))
 
 
-def update_lambda(state: LDAState, X: jnp.ndarray, config: LDAConfig) -> LDAState:
+def update_lambda(
+    state: LDAState, X: jnp.ndarray, config: LDAConfig, phi: jnp.ndarray = None
+) -> LDAState:
     """λ[v,:] = η + Σ_d ϕ[d,v,:]·X[d,v], then refresh E[ln β] (src/LDA.jl:100-108)."""
+    if phi is None:
+        phi = reconstruct_phi(state)
     lam = config.eta + jnp.einsum(
-        "dv,dvk->vk", X, state.phi, preferred_element_type=config.dtype
+        "dv,dvk->vk", X, phi, preferred_element_type=config.dtype
     )
     return state._replace(lam=lam, Elnbeta=dirichlet_expectation(lam, axis=0))
 
@@ -149,16 +173,22 @@ def loglikelihood(X: jnp.ndarray, theta: jnp.ndarray, beta: jnp.ndarray) -> jnp.
     return jnp.sum(safe_xlogy(X, P)) / jnp.sum(X)
 
 
-def calculate_elbo(state: LDAState, X: jnp.ndarray, config: LDAConfig) -> jnp.ndarray:
-    """Dirichlet-multinomial ELBO, the 7 terms of src/LDA.jl:114-172."""
+def calculate_elbo(
+    state: LDAState, X: jnp.ndarray, config: LDAConfig, phi: jnp.ndarray = None
+) -> jnp.ndarray:
+    """Dirichlet-multinomial ELBO, the 7 terms of src/LDA.jl:114-172.
+    ϕ defaults to the last ϕ-update's (reconstructed), matching the state
+    the reference computes the final ELBO from (src/LDA.jl:221)."""
+    if phi is None:
+        phi = reconstruct_phi(state)
     K, V, D = config.K, config.V, config.D
     alpha, eta = config.alpha, config.eta
-    present = (X > 0).astype(state.phi.dtype)
+    present = (X > 0).astype(phi.dtype)
 
     ElnPbeta = K * (gammaln(V * eta) - V * gammaln(eta)) + (eta - 1.0) * jnp.sum(state.Elnbeta)
     ElnPtheta = D * (gammaln(K * alpha) - K * gammaln(alpha)) + (alpha - 1.0) * jnp.sum(state.Elntheta)
-    ElnPZ = jnp.einsum("dvk,dk,dv->", state.phi, state.Elntheta, X)
-    ElnPX = jnp.einsum("dvk,vk,dv->", state.phi, state.Elnbeta, X)
+    ElnPZ = jnp.einsum("dvk,dk,dv->", phi, state.Elntheta, X)
+    ElnPX = jnp.einsum("dvk,vk,dv->", phi, state.Elnbeta, X)
     ElnQbeta = (
         jnp.sum(gammaln(state.lam))
         - jnp.sum(gammaln(jnp.sum(state.lam, axis=0)))
@@ -171,7 +201,7 @@ def calculate_elbo(state: LDAState, X: jnp.ndarray, config: LDAConfig) -> jnp.nd
     )
     # The reference sums ϕ·ln(ϕ) over *present* tokens only, unweighted by
     # counts (src/LDA.jl:160-166) — mask rather than count-weight.
-    ElnQZ = jnp.sum(xlogx(state.phi) * present[:, :, None])
+    ElnQZ = jnp.sum(xlogx(phi) * present[:, :, None])
 
     return ElnPbeta + ElnPtheta + ElnPZ + ElnPX - ElnQbeta - ElnQtheta - ElnQZ
 
@@ -388,7 +418,7 @@ class LDA:
     def phi(self) -> List[np.ndarray]:
         """Per-document (K, n_d) responsibilities over present terms, in the
         sparse row order of X (matches src/LDA.jl:14 ϕ layout)."""
-        dense = np.asarray(self.state.phi)
+        dense = np.asarray(reconstruct_phi(self.state))
         out = []
         for d, doc in enumerate(self.X):
             idx = doc[:, 0].astype(np.int64) - 1

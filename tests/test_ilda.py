@@ -84,10 +84,11 @@ class TestUpdateGamma:
         gamma[1] = ALPHA + phi_doc1[1, 0] * X[0][0, 1] + phi_doc1[1, 1] * X[0][1, 1]
         Elntheta = sp_digamma(gamma) - sp_digamma(gamma.sum())
 
-        dense_phi = np.array(model.state.phi)
+        dense_phi = np.array(mod.reconstruct_phi(model.state))
         dense_phi[0, 0:2, :] = phi_doc1.T
-        model.state = model.state._replace(phi=jnp.asarray(dense_phi))
-        model.state = mod.update_gamma(model.state, model.Xdense, model.config)
+        model.state = mod.update_gamma(
+            model.state, model.Xdense, model.config, jnp.asarray(dense_phi)
+        )
         np.testing.assert_allclose(model.gamma[:, 0], gamma, rtol=1e-10)
         np.testing.assert_allclose(model.Elntheta[:, 0], Elntheta, rtol=1e-10)
 
@@ -101,8 +102,9 @@ class TestUpdateLambda:
         dense_phi = np.zeros((2, 4, 2))
         dense_phi[0, 0:2, :] = phi[0].T  # doc 1 terms 1,2
         dense_phi[1, 2:4, :] = phi[1].T  # doc 2 terms 3,4
-        model.state = model.state._replace(phi=jnp.asarray(dense_phi))
-        model.state = mod.update_lambda(model.state, model.Xdense, model.F, model.config)
+        model.state = mod.update_lambda(
+            model.state, model.Xdense, model.F, model.config, jnp.asarray(dense_phi)
+        )
 
         # feature 1: term 1,2 -> j=1; term 3,4 -> j=2
         lam = np.empty((2, 2))

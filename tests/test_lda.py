@@ -69,10 +69,11 @@ class TestUpdateGamma:
         Elntheta = sp_digamma(gamma) - sp_digamma(gamma.sum())
 
         model = LDA(lda_fixture["K"], alpha, lda_fixture["eta"], X)
-        dense_phi = np.array(model.state.phi)
+        dense_phi = np.array(lda_mod.reconstruct_phi(model.state))
         dense_phi[0] = phi_doc1.T  # (V, K)
-        model.state = model.state._replace(phi=jnp.asarray(dense_phi))
-        model.state = lda_mod.update_gamma(model.state, model.Xdense, model.config)
+        model.state = lda_mod.update_gamma(
+            model.state, model.Xdense, model.config, jnp.asarray(dense_phi)
+        )
         np.testing.assert_allclose(model.gamma[:, 0], gamma, rtol=1e-10)
         np.testing.assert_allclose(model.Elntheta[:, 0], Elntheta, rtol=1e-10)
 
@@ -93,8 +94,9 @@ class TestUpdateLambda:
 
         model = LDA(lda_fixture["K"], lda_fixture["alpha"], eta, X)
         dense_phi = np.stack([phi[0].T, phi[1].T])  # (D, V, K)
-        model.state = model.state._replace(phi=jnp.asarray(dense_phi))
-        model.state = lda_mod.update_lambda(model.state, model.Xdense, model.config)
+        model.state = lda_mod.update_lambda(
+            model.state, model.Xdense, model.config, jnp.asarray(dense_phi)
+        )
         np.testing.assert_allclose(model.lam, lam, rtol=1e-10)
         np.testing.assert_allclose(model.Elnbeta, Elnbeta, rtol=1e-10)
 

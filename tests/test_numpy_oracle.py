@@ -405,11 +405,12 @@ class TestLDAOracle:
             Elnbeta=dirichlet_expectation(jnp.asarray(lam), axis=0),
             gamma=jnp.asarray(gamma),
             Elntheta=dirichlet_expectation(jnp.asarray(gamma), axis=1),
-            phi=jnp.asarray(phi),
+            Elntheta_pre=jnp.zeros_like(jnp.asarray(gamma)),
+            logw_pre=jnp.zeros_like(jnp.asarray(lam)),
         )
 
         # γ update: α + Σ_v X[d,v] φ[d,v,k]
-        st2 = lmod.update_gamma(state, jnp.asarray(X), cfg)
+        st2 = lmod.update_gamma(state, jnp.asarray(X), cfg, jnp.asarray(phi))
         for d in range(self.Dl):
             for k in range(self.Kl):
                 expected = alpha + sum(
@@ -418,7 +419,7 @@ class TestLDAOracle:
                 np.testing.assert_allclose(float(st2.gamma[d, k]), expected, rtol=1e-10)
 
         # λ update: η + Σ_d X[d,v] φ[d,v,k]
-        st3 = lmod.update_lambda(state, jnp.asarray(X), cfg)
+        st3 = lmod.update_lambda(state, jnp.asarray(X), cfg, jnp.asarray(phi))
         for v in range(self.Vl):
             for k in range(self.Kl):
                 expected = eta + sum(
@@ -428,7 +429,7 @@ class TestLDAOracle:
 
         # ELBO vs loop re-derivation (incl. the reference's unweighted,
         # presence-masked ElnQZ — src/LDA.jl:160-166)
-        got = float(lmod.calculate_elbo(state, jnp.asarray(X), cfg))
+        got = float(lmod.calculate_elbo(state, jnp.asarray(X), cfg, jnp.asarray(phi)))
         Elnb = digamma(lam) - digamma(lam.sum(axis=0, keepdims=True))
         Elnt = digamma(gamma) - digamma(gamma.sum(axis=1, keepdims=True))
         K_, V_, D_ = self.Kl, self.Vl, self.Dl
