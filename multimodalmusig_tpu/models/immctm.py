@@ -786,6 +786,10 @@ def predict_modality_eta(
     Xobs, m: int, model: IMMCTM, maxiter: int = 100, verbose: bool = False
 ):
     """Reference `predict_modality_η` (src/IMMCTM.jl:499-545); 1-based m."""
+    if not 1 <= m <= model.M:
+        raise ValueError(f"m must be a 1-based modality index in 1..{model.M}, got {m}")
+    if model.M < 2:
+        raise ValueError("predict_modality_eta needs at least two modalities")
     m0 = m - 1
     obsM = [i for i in range(model.M) if i != m0]
     obs_model = IMMCTM(

@@ -804,9 +804,14 @@ class CTM(MMCTM):
     (reference README.md:67-73)."""
 
     def __init__(self, k: int, alpha: float, *args, **kwargs):
-        if args and not isinstance(args[0], (list, tuple)) or not args:
-            raise TypeError("CTM(k, alpha, X) with X from format_counts_ctm")
-        super().__init__([k], [alpha], *args, **kwargs)
+        if len(args) == 2:
+            V, X = args
+            V = [V] if isinstance(V, int) else list(V)
+            super().__init__([k], [alpha], V, X, **kwargs)
+        elif len(args) == 1:
+            super().__init__([k], [alpha], args[0], **kwargs)
+        else:
+            raise TypeError("CTM(k, alpha, [V,] X) with X from format_counts_ctm")
 
 
 def transform(
@@ -882,6 +887,10 @@ def predict_modality_eta(
     holds the remaining modalities in their original order. Returns a list of
     per-document η arrays (length K[m]).
     """
+    if not 1 <= m <= model.M:
+        raise ValueError(f"m must be a 1-based modality index in 1..{model.M}, got {m}")
+    if model.M < 2:
+        raise ValueError("predict_modality_eta needs at least two modalities")
     m0 = m - 1
     obsM = [i for i in range(model.M) if i != m0]
     obs_model = MMCTM(
