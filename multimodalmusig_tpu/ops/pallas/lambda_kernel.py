@@ -92,7 +92,12 @@ def _lambda_solve(lam, nu, ndz, st, mu_col, invS, *, n_iter: int, cg_iter: int):
         lind = rowsum(delta * st)
         f0 = -0.5 * q0 + lin0 - rowsum(w)  # s = 0 fallback
 
-        e1 = jnp.exp(delta)
+        # exponent clip: for w_i = 0 coordinates (empty doc x modality
+        # blocks) an overflowed exp would turn w*e_s into 0*inf = NaN and
+        # reject otherwise-valid candidates; at w_i > 0 a clipped e^60 still
+        # makes the candidate astronomically negative, so behavior there is
+        # unchanged (rejected either way).
+        e1 = jnp.exp(jnp.minimum(delta, 60.0))
         e2 = e1 * e1
         e4 = e2 * e2
         e8 = e4 * e4
