@@ -42,3 +42,8 @@ def test_float_counts(tmp_path):
     p.write_text("term\ts1\nA\t1.5\nB\t2.25\n")
     counts, terms, _ = fast_tsv.read_counts_tsv(str(p))
     np.testing.assert_array_equal(counts[:, 0], [1.5, 2.25])
+
+
+def test_missing_file_raises():
+    with pytest.raises(OSError):
+        fast_tsv.read_counts_tsv("/nonexistent/file.tsv")

@@ -452,3 +452,60 @@ class TestLDAOracle:
         )
         expected = ElnPb + ElnPt + ElnPZ + ElnPX - ElnQb - ElnQt - ElnQZ
         np.testing.assert_allclose(got, expected, rtol=1e-8)
+
+
+class TestILDAOracle:
+    """ILDA feature-factorized updates vs explicit loops on random state."""
+
+    def test_phi_and_lambda(self, rng):
+        from multimodalmusig_tpu.models import ilda as imod
+        from multimodalmusig_tpu.models.ilda import ILDAConfig, ILDAState, feature_onehots
+        from multimodalmusig_tpu.ops.special import dirichlet_expectation
+
+        Dl, Vl, Kl = 4, 8, 3
+        J = (3, 4)
+        features = np.stack(
+            [rng.integers(1, j + 1, size=Vl) for j in J], axis=1
+        )
+        for i, j in enumerate(J):
+            features[:j, i] = np.arange(1, j + 1)
+        cfg = ILDAConfig(K=Kl, V=Vl, D=Dl, J=J, alpha=0.1, eta=(0.1, 0.2),
+                         dtype=jnp.float64)
+        F = feature_onehots(features, J, jnp.float64)
+        lam = tuple(rng.uniform(0.5, 6.0, size=(J[i], Kl)) for i in range(2))
+        gamma = rng.uniform(0.5, 6.0, size=(Dl, Kl))
+        state = ILDAState(
+            lam=tuple(jnp.asarray(l) for l in lam),
+            Elnbeta=tuple(dirichlet_expectation(jnp.asarray(l), axis=0) for l in lam),
+            gamma=jnp.asarray(gamma),
+            Elntheta=dirichlet_expectation(jnp.asarray(gamma), axis=1),
+            Elntheta_pre=jnp.zeros((Dl, Kl)),
+            logw_pre=jnp.zeros((Vl, Kl)),
+        )
+
+        # ϕ update: softmax over k of Elnθ + Σ_i Elnβ_i[j_v]
+        st = imod.update_phi(state, F)
+        got_phi = np.asarray(imod.reconstruct_phi(st))
+        Elnb = [digamma(lam[i]) - digamma(lam[i].sum(axis=0, keepdims=True)) for i in range(2)]
+        Elnt = digamma(gamma) - digamma(gamma.sum(axis=1, keepdims=True))
+        for d in range(Dl):
+            for v in range(Vl):
+                logits = np.array([
+                    Elnt[d, k] + sum(Elnb[i][features[v, i] - 1, k] for i in range(2))
+                    for k in range(Kl)
+                ])
+                e = np.exp(logits - logits.max())
+                np.testing.assert_allclose(got_phi[d, v], e / e.sum(), rtol=1e-8)
+
+        # λ update: per-feature scatter of X·ϕ
+        X = rng.integers(0, 7, size=(Dl, Vl)).astype(np.float64)
+        phi = rng.dirichlet(np.ones(Kl), size=(Dl, Vl))
+        st2 = imod.update_lambda(state, jnp.asarray(X), F, cfg, jnp.asarray(phi))
+        for i in range(2):
+            expected = np.full((J[i], Kl), cfg.eta[i])
+            for d in range(Dl):
+                for v in range(Vl):
+                    j = features[v, i] - 1
+                    for k in range(Kl):
+                        expected[j, k] += X[d, v] * phi[d, v, k]
+            np.testing.assert_allclose(np.asarray(st2.lam[i]), expected, rtol=1e-9)
