@@ -92,10 +92,28 @@ def main(argv=None) -> int:
     loaded = [read_counts_tsv(f) for f in args.counts]  # (counts (V,D), terms, samples)
     samples = loaded[0][2]
     terms = [t for _, t, _ in loaded]
+    # Align columns by sample NAME across modality files (the reference picks
+    # columns by sample id from file 1's header — run_mmctm.jl:258-260 — so
+    # differently-ordered exports must not silently misalign documents).
+    col_of = []
+    for path, (_, _, s) in zip(args.counts, loaded):
+        index = {name: i for i, name in enumerate(s)}
+        missing = [name for name in samples if name not in index]
+        if missing:
+            print(
+                f"{path}: missing sample columns {missing[:5]}"
+                f"{'...' if len(missing) > 5 else ''}",
+                file=sys.stderr,
+            )
+            return 1
+        col_of.append(index)
     # X[doc][modality] in the reference's sparse (index, count) form
     counts = [
-        [make_count_matrix(mat[:, d]) for mat, _, _ in loaded]
-        for d in range(len(samples))
+        [
+            make_count_matrix(loaded[m][0][:, col_of[m][name]])
+            for m in range(len(loaded))
+        ]
+        for name in samples
     ]
     alpha = [args.alpha] * len(args.k)
     V = [mat.shape[0] for mat, _, _ in loaded]

@@ -44,17 +44,30 @@ def heldout_ll_curve(
     X_test via fit_heldout. Returns [(K, heldout_ll per modality), ...]."""
     from .models.mmctm import MMCTM, fit_heldout
     from .parallel.restarts import fit_mmctm_restarts
+    from .utils.formatting import infer_vocab_size
+
+    # vocabulary sized over BOTH splits: a term present only in held-out
+    # documents must still have a row in the trained topics, or fit_heldout
+    # would reject its index
+    M = len(X_train[0])
+    V = [
+        max(
+            infer_vocab_size([doc[m] for doc in X_train]),
+            infer_vocab_size([doc[m] for doc in X_test]),
+        )
+        for m in range(M)
+    ]
 
     curve = []
     for k in k_values:
         k = list(k)
         if restarts > 1:
             model = fit_mmctm_restarts(
-                k, list(alpha), X_train, restarts=restarts, maxiter=maxiter,
-                seed=seed,
+                k, list(alpha), X_train, V=V, restarts=restarts,
+                maxiter=maxiter, seed=seed,
             )
         else:
-            model = MMCTM(k, list(alpha), X_train, seed=seed)
+            model = MMCTM(k, list(alpha), V, X_train, seed=seed)
             model.fit(maxiter=maxiter, verbose=False)
         heldout = fit_heldout(X_test, model, maxiter=heldout_maxiter)
         curve.append((k, list(np.asarray(heldout.ll, dtype=np.float64))))

@@ -176,14 +176,26 @@ def theta_from(lam, logw, config: IMMCTMConfig) -> Tuple[jnp.ndarray, ...]:
     )
 
 
+def smoothed_logw(state: IMMCTMState, F, config: IMMCTMConfig):
+    """Training log-weights Σ_i E[ln ϕ] as (V_m, K_m) tables
+    (src/IMMCTM.jl:152-172)."""
+    return tuple(summed_Elnphi(state.Elnphi[m], F[m]) for m in range(config.M))
+
+
+def unsmoothed_logw(phi, F, config: IMMCTMConfig):
+    """Inference log-weights Σ_i ln ϕ from point estimates — the analogue of
+    MMCTM's unsmoothed_update_θ! for the feature-factorized model."""
+    return tuple(
+        summed_Elnphi(tuple(jnp.log(p) for p in phi[m]), F[m])
+        for m in range(config.M)
+    )
+
+
 def update_theta(
     state: IMMCTMState, F: Sequence[Sequence[jnp.ndarray]], config: IMMCTMConfig
 ) -> Tuple[jnp.ndarray, ...]:
     """θ[d,v,:] ∝ exp(λ_block[d,:] + Σ_i Elnϕ) (src/IMMCTM.jl:152-172)."""
-    logw = tuple(
-        summed_Elnphi(state.Elnphi[m], F[m]) for m in range(config.M)
-    )
-    return theta_from(state.lam, logw, config)
+    return theta_from(state.lam, smoothed_logw(state, F, config), config)
 
 
 def reconstruct_theta(state: IMMCTMState, config: IMMCTMConfig) -> Tuple[jnp.ndarray, ...]:
@@ -197,12 +209,13 @@ def e_step(
     N: jnp.ndarray,
     F: Sequence[Sequence[jnp.ndarray]],
     config: IMMCTMConfig,
-) -> IMMCTMState:
+    logw_fn=None,
+):
     """Batched `fitdoc!` (src/IMMCTM.jl:430-435): ζ → θ → ν → λ for all
     docs. Returns (state, θ); θ is never carried (see MMCTMState docs)."""
     zeta = _base_update_zeta(state.lam, state.nu, config)
-    logw = tuple(
-        summed_Elnphi(state.Elnphi[m], F[m]) for m in range(config.M)
+    logw = (
+        smoothed_logw(state, F, config) if logw_fn is None else logw_fn(state)
     )
     theta = theta_from(state.lam, logw, config)
     state = state._replace(zeta=zeta, lam_pre=state.lam, logw_pre=logw)
@@ -349,6 +362,33 @@ def calculate_elbo(
 # ---------------------------------------------------------------------------
 
 
+def fit_step_fn(
+    X: Sequence[jnp.ndarray],
+    N: jnp.ndarray,
+    F: Tuple[Tuple[jnp.ndarray, ...], ...],
+    config: IMMCTMConfig,
+    autoalpha: bool = False,
+    update_sigma: bool = True,
+):
+    """One full CAVI iteration as a closure (src/IMMCTM.jl:441-451) — the
+    single source of the step body, shared by fit() and the chunked restart
+    driver (parallel/restarts.py)."""
+
+    def step(s):
+        s, theta = e_step(s, X, N, F, config)
+        s = s._replace(mu=update_mu_vec(s.lam))
+        if update_sigma:
+            Sigma, invSigma = update_Sigma_mats(s.lam, s.nu, s.mu, config.D)
+            s = s._replace(Sigma=Sigma, invSigma=invSigma)
+        s = update_gamma(s, X, F, config, theta)
+        if autoalpha:
+            s = update_alpha(s, config)
+        ll_i = modality_loglikelihoods(X, s.lam, s.gamma, F, config)
+        return s, ll_i
+
+    return step
+
+
 def fit(
     state: IMMCTMState,
     X: Sequence[jnp.ndarray],
@@ -363,19 +403,7 @@ def fit(
     """Full IMMCTM CAVI (src/IMMCTM.jl:437-466)."""
     X = tuple(X)
     N = counts_per_doc(X)
-
-    def step(s):
-        s, theta = e_step(s, X, N, F, config)
-        s = s._replace(mu=update_mu_vec(s.lam))
-        if update_sigma:
-            Sigma, invSigma = update_Sigma_mats(s.lam, s.nu, s.mu, config.D)
-            s = s._replace(Sigma=Sigma, invSigma=invSigma)
-        s = update_gamma(s, X, F, config, theta)
-        if autoalpha:
-            s = update_alpha(s, config)
-        ll_i = modality_loglikelihoods(X, s.lam, s.gamma, F, config)
-        return s, ll_i
-
+    step = fit_step_fn(X, N, F, config, autoalpha, update_sigma)
     state, ll_buf, n_iters, converged = _run_cavi(state, config, maxiter, tol, step, verbose)
     return IMMCTMFitResult(
         state=state,
@@ -445,9 +473,11 @@ def transform_states(
         state = state._replace(
             mu=trained.mu, Sigma=trained.Sigma, invSigma=_spd_inverse(trained.Sigma)
         )
+    # frozen point-estimate weights, matching MMCTM transform's unsmoothed θ
+    logw_phi = unsmoothed_logw(phi_point(trained.gamma), F, config)
 
     def step(s):
-        s, _ = e_step(s, Xnew, N, F, config)
+        s, _ = e_step(s, Xnew, N, F, config, logw_fn=lambda st: logw_phi)
         if fit_gaussian:
             s = s._replace(mu=update_mu_vec(s.lam))
             Sigma, invSigma = update_Sigma_mats(s.lam, s.nu, s.mu, config.D)

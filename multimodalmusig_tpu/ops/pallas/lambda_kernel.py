@@ -92,25 +92,23 @@ def _lambda_solve(lam, nu, ndz, st, mu_col, invS, *, n_iter: int, cg_iter: int):
         lind = rowsum(delta * st)
         f0 = -0.5 * q0 + lin0 - rowsum(w)  # s = 0 fallback
 
-        # exponent clip: for w_i = 0 coordinates (empty doc x modality
-        # blocks) an overflowed exp would turn w*e_s into 0*inf = NaN and
-        # reject otherwise-valid candidates; at w_i > 0 a clipped e^60 still
-        # makes the candidate astronomically negative, so behavior there is
-        # unchanged (rejected either way).
-        e1 = jnp.exp(jnp.minimum(delta, 60.0))
-        e2 = e1 * e1
-        e4 = e2 * e2
-        e8 = e4 * e4
-
+        # exp(s*delta): over-steps get individually clipped exps; the
+        # backtracking steps form an exact sqrt chain (see ops/solvers.py
+        # for the float32-overflow / 0*inf rationale)
         def f_of(s, e_s):
             quad = -0.5 * (q0 + 2.0 * s * b + s * s * c2)
             return quad + lin0 + s * lind - rowsum(w * e_s)
 
         best_s = jnp.zeros_like(f0)
         best_f = f0
-        e_s = e8
-        s = 8.0
-        for _ in range(_N_OVER + _N_BACKTRACK):
+        for s in (8.0, 4.0, 2.0):
+            f = f_of(s, jnp.exp(jnp.minimum(s * delta, 60.0)))
+            ok = jnp.isfinite(f) & (f > best_f)
+            best_f = jnp.where(ok, f, best_f)
+            best_s = jnp.where(ok, s, best_s)
+        e_s = jnp.exp(jnp.minimum(delta, 60.0))
+        s = 1.0
+        for _ in range(_N_BACKTRACK):
             f = f_of(s, e_s)
             ok = jnp.isfinite(f) & (f > best_f)
             best_f = jnp.where(ok, f, best_f)

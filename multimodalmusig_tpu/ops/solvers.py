@@ -177,31 +177,28 @@ def maximize_lambda(
         lind = jnp.sum(delta * sumtheta, axis=-1)
         f0 = -0.5 * q0 + lin0 - jnp.sum(w, axis=-1)  # current point (s = 0)
 
-        # exponent clip: for w_i = 0 coordinates (empty doc x modality
-        # blocks) an overflowed exp would turn w*e_s into 0*inf = NaN and
-        # reject otherwise-valid candidates; at w_i > 0 a clipped e^60 still
-        # makes the candidate astronomically negative, so behavior there is
-        # unchanged (rejected either way).
-        e1 = jnp.exp(jnp.minimum(delta, 60.0))
-        e2 = e1 * e1
-        e4 = e2 * e2
-
+        # exp(s*delta) per candidate: the three over-steps get their own
+        # exponent-clipped exp (a squaring chain from exp(delta) overflows
+        # float32 once any coordinate has delta > ~11, and on w_i = 0
+        # coordinates — empty doc x modality blocks — w*inf = NaN would
+        # spuriously reject the candidate); the backtracking steps s <= 1
+        # form an exact sqrt chain from exp(min(delta, 60)). Where a clip
+        # binds, any w_i > 0 coordinate still makes the candidate
+        # astronomically negative, so selection is unchanged.
         def f_of(s, e_s):
             quad = -0.5 * (q0 + 2.0 * s * b + s * s * c2)
             return quad + lin0 + s * lind - jnp.sum(w * e_s, axis=-1)
 
         best_s = jnp.zeros_like(f0)
         best_f = f0
-        e_s = e4 * e4  # s = 8
-        s = 8.0
-        for _ in range(3):  # 8, 4, 2
-            f = f_of(s, e_s)
+        for s in (8.0, 4.0, 2.0):
+            f = f_of(s, jnp.exp(jnp.minimum(s * delta, 60.0)))
             ok = jnp.isfinite(f) & (f > best_f)
             best_f = jnp.where(ok, f, best_f)
             best_s = jnp.where(ok, s, best_s)
-            e_s = jnp.sqrt(e_s)
-            s = s / 2.0
         # s = 1, 1/2, ..., 2^-(BACKTRACK-1)
+        e_s = jnp.exp(jnp.minimum(delta, 60.0))
+        s = 1.0
         for _ in range(_N_BACKTRACK):
             f = f_of(s, e_s)
             ok = jnp.isfinite(f) & (f > best_f)

@@ -454,16 +454,7 @@ def fit_immctm_restarts(
         def init_c(keys):
             return jax.vmap(lambda kk: _mk(init_one(kk), cfg, maxiter))(keys)
 
-        def step(s):
-            s, theta = immctm_mod.e_step(s, Xd, N, F, cfg)
-            s = s._replace(mu=s.lam.mean(axis=0))
-            from ..models.ctm_base import update_Sigma_mats
-
-            Sigma, invSigma = update_Sigma_mats(s.lam, s.nu, s.mu, cfg.D)
-            s = s._replace(Sigma=Sigma, invSigma=invSigma)
-            s = immctm_mod.update_gamma(s, Xd, F, cfg, theta)
-            ll_i = immctm_mod.modality_loglikelihoods(Xd, s.lam, s.gamma, F, cfg)
-            return s, ll_i
+        step = immctm_mod.fit_step_fn(Xd, N, F, cfg)
 
         @jax.jit
         def advance(carries):

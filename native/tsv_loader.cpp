@@ -92,14 +92,26 @@ int parse(const char* path, Parsed* out) {
     // term field
     const char* t0 = p;
     while (p < end && *p != '\t' && *p != '\n') ++p;
-    if (p >= end || *p != '\t') break;  // malformed/trailing line
+    if (p >= end || *p != '\t') break;  // trailing line without counts
     if (!out->terms.empty()) out->terms.push_back('\n');
     out->terms.append(t0, p);
     ++p;
+    // exactly D count fields, tab-separated, then newline/EOF — a short or
+    // long row is a hard error rather than silent misalignment (a naive
+    // parser would consume the next line's term as a count)
     for (long d = 0; d < D; ++d) {
+      if (p >= end || *p == '\n') return -3;  // short row
+      const char* before = p;
       out->counts.push_back(scan_number(p, end));
+      if (p == before) return -5;  // empty field
       if (p < end && *p == '\r') ++p;
-      if (p < end && (*p == '\t' || *p == '\n')) ++p;
+      if (d < D - 1) {
+        if (p >= end || *p != '\t') return -3;  // short row
+        ++p;
+      } else {
+        if (p < end && *p == '\t') return -4;  // long row
+        if (p < end && *p == '\n') ++p;
+      }
     }
     ++V;
   }

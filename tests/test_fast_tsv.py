@@ -47,3 +47,16 @@ def test_float_counts(tmp_path):
 def test_missing_file_raises():
     with pytest.raises(OSError):
         fast_tsv.read_counts_tsv("/nonexistent/file.tsv")
+
+
+def test_malformed_rows_raise(tmp_path):
+    """Short/long/empty-field rows must error, not silently misalign."""
+    for body in (
+        "term\ts1\ts2\nA\t1\nB\t3\t4\n",        # short row
+        "term\ts1\ts2\nA\t1\t2\t9\nB\t3\t4\n",  # long row
+        "term\ts1\ts2\nA\t1\t\nB\t3\t4\n",      # empty field
+    ):
+        p = tmp_path / "bad.tsv"
+        p.write_text(body)
+        with pytest.raises((OSError, ValueError)):
+            fast_tsv.read_counts_tsv(str(p))
