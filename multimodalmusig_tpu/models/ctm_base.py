@@ -150,7 +150,8 @@ def make_cavi_carry(state, config, maxiter):
     return (state, ll_buf, jnp.int32(0), jnp.array(False))
 
 
-def run_cavi_from(carry, maxiter, tol, step_fn, verbose=False, max_new_iters=None):
+def run_cavi_from(carry, maxiter, tol, step_fn, verbose=False, max_new_iters=None,
+                  verbose_label="Log-likelihoods"):
     """Resume the CAVI while_loop from an existing carry for up to
     `max_new_iters` more iterations (None = to maxiter). Chunked resumption
     keeps each device execution bounded — long fits are driven as a host loop
@@ -172,7 +173,7 @@ def run_cavi_from(carry, maxiter, tol, step_fn, verbose=False, max_new_iters=Non
         state, ll_i = step_fn(state)
         ll_buf = ll_buf.at[it].set(ll_i)
         if verbose:
-            jax.debug.print("{}\tLog-likelihoods: {}", it + 1, ll_i)
+            jax.debug.print("{}\t" + verbose_label + ": {}", it + 1, ll_i)
         converged = (it + 1 > MIN_ITERS_BEFORE_CONVERGENCE) & (
             relative_change(ll_buf[it - 1], ll_i) < tol
         )

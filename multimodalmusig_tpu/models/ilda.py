@@ -260,24 +260,14 @@ def calculate_elbo(
 
 
 def _run_cavi(state, config, maxiter, tol, step_fn, verbose=False):
-    ll_buf = jnp.zeros((maxiter,), config.dtype)
+    """Scalar-metric CAVI driver: the shared loop of ctm_base with a
+    (maxiter,) log-likelihood buffer (src/ILDA.jl:246-272 convergence rule)."""
+    from .ctm_base import run_cavi_from
 
-    def cond(carry):
-        _, _, it, converged = carry
-        return (it < maxiter) & ~converged
-
-    def body(carry):
-        state, ll_buf, it, _ = carry
-        state, ll_i = step_fn(state)
-        ll_buf = ll_buf.at[it].set(ll_i)
-        if verbose:
-            jax.debug.print("{}\tLog-likelihood: {}", it + 1, ll_i)
-        converged = (it + 1 > MIN_ITERS_BEFORE_CONVERGENCE) & (
-            relative_change(ll_buf[it - 1], ll_i) < tol
-        )
-        return state, ll_buf, it + 1, converged
-
-    return jax.lax.while_loop(cond, body, (state, ll_buf, jnp.int32(0), jnp.array(False)))
+    carry = (state, jnp.zeros((maxiter,), config.dtype), jnp.int32(0), jnp.array(False))
+    return run_cavi_from(
+        carry, maxiter, tol, step_fn, verbose, verbose_label="Log-likelihood"
+    )
 
 
 def fit(

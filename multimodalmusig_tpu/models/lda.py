@@ -212,28 +212,14 @@ def calculate_elbo(
 
 
 def _run_cavi(state, X, config, maxiter, tol, step_fn, verbose=False):
-    """Shared jit-able CAVI driver with the reference's convergence rule."""
-    ll_buf = jnp.zeros((maxiter,), config.dtype)
+    """Scalar-metric CAVI driver: the shared loop of ctm_base with a
+    (maxiter,) log-likelihood buffer (src/LDA.jl:198-224 convergence rule)."""
+    from .ctm_base import run_cavi_from
 
-    def cond(carry):
-        _, _, it, converged = carry
-        return (it < maxiter) & ~converged
-
-    def body(carry):
-        state, ll_buf, it, _ = carry
-        state, ll_i = step_fn(state)
-        ll_buf = ll_buf.at[it].set(ll_i)
-        if verbose:
-            jax.debug.print("{}\tLog-likelihood: {}", it + 1, ll_i)
-        prev = ll_buf[it - 1]
-        converged = (it + 1 > MIN_ITERS_BEFORE_CONVERGENCE) & (
-            relative_change(prev, ll_i) < tol
-        )
-        return state, ll_buf, it + 1, converged
-
-    init_carry = (state, ll_buf, jnp.int32(0), jnp.array(False))
-    state, ll_buf, n_iters, converged = jax.lax.while_loop(cond, body, init_carry)
-    return state, ll_buf, n_iters, converged
+    carry = (state, jnp.zeros((maxiter,), config.dtype), jnp.int32(0), jnp.array(False))
+    return run_cavi_from(
+        carry, maxiter, tol, step_fn, verbose, verbose_label="Log-likelihood"
+    )
 
 
 def _fit_step(state, X, config):
