@@ -252,3 +252,20 @@ class TestHeldoutTransformPredict:
         assert len(eta) == 2
         assert eta[0].shape == (2,)
         assert np.all(np.isfinite(eta[0]))
+
+
+class TestTransformWeightSemantics:
+    def test_transform_uses_frozen_point_phi(self, model):
+        """IMMCTM transform must use Σ_i ln(point ϕ) weights (the MMCTM
+        unsmoothed-θ analogue), not the smoothed Σ_i E[ln ϕ]."""
+        model.fit(maxiter=3, verbose=False)
+        new = mod.transform(model, X, maxiter=1)
+        expected = mod.unsmoothed_logw(
+            mod.phi_point(model.state.gamma), model.F, model.config
+        )
+        for m in range(2):
+            np.testing.assert_allclose(
+                np.asarray(new.state.logw_pre[m]),
+                np.asarray(expected[m]),
+                rtol=1e-6,
+            )

@@ -364,3 +364,19 @@ class TestCTM:
         assert model.M == 1
         ll = model.fit(maxiter=15, verbose=False)
         assert np.all(np.isfinite(np.asarray(ll)))
+
+
+class TestTransformWeightSemantics:
+    def test_transform_uses_frozen_point_phi(self, mmctm_fixture):
+        """The transform E-step must weight θ by ln(point ϕ), not by the
+        smoothed E[ln ϕ] (src/MMCTM.jl:496-509 unsmoothed_update_θ!)."""
+        model = make_model(mmctm_fixture)
+        model.fit(maxiter=3, verbose=False)
+        new = mod.transform(model, mmctm_fixture["X"], maxiter=1)
+        phi = mod.phi_point(model.state.gamma)
+        for m in range(2):
+            np.testing.assert_allclose(
+                np.asarray(new.state.logw_pre[m]),
+                np.log(np.asarray(phi[m])).T,
+                rtol=1e-6,
+            )
