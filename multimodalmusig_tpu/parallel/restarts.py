@@ -356,26 +356,67 @@ def fit_mmctm_restarts(
 # ---------------------------------------------------------------------------
 
 
+def _scalar_metric_chunked(init_one, step, finalize_one, keys, maxiter, tol,
+                           chunk_iters, restarts, dtype):
+    """Chunked best-of-N driver for the scalar-ll models (LDA/ILDA)."""
+
+    @jax.jit
+    def init_c(keys):
+        def one(k):
+            return (
+                init_one(k),
+                jnp.zeros((maxiter,), dtype),
+                jnp.int32(0),
+                jnp.array(False),
+            )
+
+        return jax.vmap(one)(keys)
+
+    @jax.jit
+    def advance(carries):
+        return jax.vmap(
+            lambda c: run_cavi_from(c, maxiter, tol, step, max_new_iters=chunk_iters)
+        )(carries)
+
+    final = _chunked_drive(init_c(keys), advance, maxiter, restarts)
+    return jax.jit(jax.vmap(finalize_one))(final)
+
+
 def fit_lda_restarts(
     k, alpha, eta, X, V=None, restarts: int = 100, maxiter: int = 1000,
     tol: float = 1e-4, seed: int = 147959412, dtype=None,
+    chunk_iters: Optional[int] = None,
 ):
-    """Best-of-N LDA fitting: vmapped restarts, argmax final log-likelihood."""
+    """Best-of-N LDA fitting: vmapped restarts, argmax final log-likelihood.
+    `chunk_iters` enables the host-chunked compacted driver."""
     from ..models import lda as lda_mod
     from ..models.lda import LDA
 
     args = (k, alpha, eta) + (() if V is None else (V,)) + (X,)
     model = LDA(*args, dtype=dtype)
     cfg, Xd = model.config, model.Xdense
+    keys = jax.random.split(jax.random.key(seed), restarts)
 
-    @partial(jax.jit, static_argnames=())
-    def run(keys):
-        def one(key):
-            return lda_mod.fit(lda_mod.init(key, cfg), Xd, cfg, maxiter=maxiter, tol=tol)
+    if chunk_iters is None:
 
-        return jax.vmap(one)(keys)
+        @partial(jax.jit, static_argnames=())
+        def run(keys):
+            def one(key):
+                return lda_mod.fit(lda_mod.init(key, cfg), Xd, cfg, maxiter=maxiter, tol=tol)
 
-    result = run(jax.random.split(jax.random.key(seed), restarts))
+            return jax.vmap(one)(keys)
+
+        result = run(keys)
+    else:
+        result = _scalar_metric_chunked(
+            lambda key: lda_mod.init(key, cfg),
+            lambda s: lda_mod._fit_step(s, Xd, cfg),
+            lambda c: lda_mod.LDAFitResult(
+                state=c[0], ll_history=c[1], n_iters=c[2], converged=c[3],
+                elbo=lda_mod.calculate_elbo(c[0], Xd, cfg), ll=c[1][c[2] - 1],
+            ),
+            keys, maxiter, tol, chunk_iters, restarts, cfg.dtype,
+        )
     best = int(jnp.argmax(result.ll))
     sel = lane(result, best)
     model.state = sel.state
@@ -388,24 +429,49 @@ def fit_lda_restarts(
 def fit_ilda_restarts(
     k, alpha, eta, features, X, restarts: int = 100, maxiter: int = 1000,
     tol: float = 1e-4, seed: int = 147959412, dtype=None,
+    chunk_iters: Optional[int] = None,
 ):
-    """Best-of-N ILDA fitting: vmapped restarts, argmax final log-likelihood."""
+    """Best-of-N ILDA fitting: vmapped restarts, argmax final log-likelihood.
+    `chunk_iters` enables the host-chunked compacted driver."""
     from ..models import ilda as ilda_mod
     from ..models.ilda import ILDA
 
     model = ILDA(k, alpha, eta, features, X, dtype=dtype)
     cfg, Xd, F = model.config, model.Xdense, model.F
+    keys = jax.random.split(jax.random.key(seed), restarts)
 
-    @jax.jit
-    def run(keys):
-        def one(key):
-            return ilda_mod.fit(
-                ilda_mod.init(key, cfg), Xd, F, cfg, maxiter=maxiter, tol=tol
+    if chunk_iters is None:
+
+        @jax.jit
+        def run(keys):
+            def one(key):
+                return ilda_mod.fit(
+                    ilda_mod.init(key, cfg), Xd, F, cfg, maxiter=maxiter, tol=tol
+                )
+
+            return jax.vmap(one)(keys)
+
+        result = run(keys)
+    else:
+
+        def step(s):
+            s = ilda_mod.update_gamma(s, Xd, cfg)
+            s = ilda_mod.update_phi(s, F)
+            s = ilda_mod.update_lambda(s, Xd, F, cfg)
+            ll_i = ilda_mod.loglikelihood(
+                Xd, ilda_mod.theta_point(s), ilda_mod.beta_point(s), F
             )
+            return s, ll_i
 
-        return jax.vmap(one)(keys)
-
-    result = run(jax.random.split(jax.random.key(seed), restarts))
+        result = _scalar_metric_chunked(
+            lambda key: ilda_mod.init(key, cfg),
+            step,
+            lambda c: ilda_mod.ILDAFitResult(
+                state=c[0], ll_history=c[1], n_iters=c[2], converged=c[3],
+                elbo=ilda_mod.calculate_elbo(c[0], Xd, F, cfg), ll=c[1][c[2] - 1],
+            ),
+            keys, maxiter, tol, chunk_iters, restarts, cfg.dtype,
+        )
     best = int(jnp.argmax(result.ll))
     sel = lane(result, best)
     model.state = sel.state

@@ -74,3 +74,28 @@ def test_immctm_chunked_matches_single_shot(mmctm_fixture):
     )
     np.testing.assert_allclose(a.ll, b.ll, rtol=1e-10)
     np.testing.assert_allclose(a.mu, b.mu, rtol=1e-8)
+
+
+def test_lda_chunked_matches_single_shot(lda_fixture):
+    kw = dict(restarts=3, maxiter=25, tol=1e-6, seed=11)
+    a = fit_lda_restarts(
+        lda_fixture["K"], lda_fixture["alpha"], lda_fixture["eta"],
+        lda_fixture["X"], **kw,
+    )
+    b = fit_lda_restarts(
+        lda_fixture["K"], lda_fixture["alpha"], lda_fixture["eta"],
+        lda_fixture["X"], chunk_iters=7, **kw,
+    )
+    np.testing.assert_allclose(a.ll, b.ll, rtol=1e-12)
+    np.testing.assert_allclose(a.lam, b.lam, rtol=1e-10)
+
+
+def test_ilda_chunked_matches_single_shot(lda_fixture):
+    kw = dict(restarts=3, maxiter=20, seed=12)
+    a = fit_ilda_restarts(2, 0.1, 0.1, FEATURES, lda_fixture["X"], **kw)
+    b = fit_ilda_restarts(
+        2, 0.1, 0.1, FEATURES, lda_fixture["X"], chunk_iters=6, **kw
+    )
+    np.testing.assert_allclose(a.ll, b.ll, rtol=1e-12)
+    for i in range(2):
+        np.testing.assert_allclose(a.lam[i], b.lam[i], rtol=1e-10)
