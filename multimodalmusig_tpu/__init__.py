@@ -53,6 +53,7 @@ __all__ = [
     "calculate_elbo",
     "calculate_loglikelihood",
     "calculate_loglikelihoods",
+    "calculate_docmodality_loglikelihoods",
 ]
 
 # Generic dispatch mirroring Julia's multiple dispatch on fit!/transform/...
@@ -183,3 +184,43 @@ def calculate_loglikelihoods(*args):
     else:
         raise TypeError(f"no calculate_loglikelihoods for {type(model)!r}")
     return list(np.asarray(ll, dtype=np.float64))
+
+
+def calculate_docmodality_loglikelihoods(*args):
+    """MMCTM/IMMCTM per-document per-modality normalized log-likelihoods as a
+    (D, M) array: `calculate_docmodality_loglikelihoods(model)` or
+    `(X, model)` — the full matrix behind the reference's
+    `calculate_docmodality_loglikelihood` (src/MMCTM.jl:384-401,
+    src/IMMCTM.jl:362-386). Documents with zero counts in a modality get
+    NaN, matching the reference's division by N_d=0 (its modality-level
+    aggregation skips such docs)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from .models import immctm as immctm_m, mmctm as mmctm_m
+    from .utils.formatting import sparse_to_dense
+
+    model = args[-1]
+    if len(args) == 1:
+        Xd = model.Xdense
+    else:
+        X = args[0]
+        Xd = tuple(
+            jnp.asarray(
+                sparse_to_dense([doc[m] for doc in X], model.V[m]), model.config.dtype
+            )
+            for m in range(model.M)
+        )
+    if isinstance(model, IMMCTM):
+        ll = immctm_m.docmodality_loglikelihoods(
+            Xd, model.state.lam, model.state.gamma, model.F, model.config
+        )
+    elif isinstance(model, MMCTM):
+        ll = mmctm_m.docmodality_loglikelihoods(
+            Xd,
+            mmctm_m.props_from(model.state.lam, model.config),
+            mmctm_m.phi_point(model.state.gamma),
+        )
+    else:
+        raise TypeError(f"no calculate_docmodality_loglikelihoods for {type(model)!r}")
+    return np.asarray(ll, dtype=np.float64)

@@ -69,6 +69,13 @@ def build_parser() -> argparse.ArgumentParser:
         help="CAVI iterations per device execution (host-chunked resumable "
         "fitting; 0 disables chunking)",
     )
+    p.add_argument(
+        "--platform", choices=("auto", "cpu", "default"), default="auto",
+        help="accelerator selection: 'auto' probes the default backend with "
+        "a bounded deadline and falls back to CPU if it is unreachable (a "
+        "wedged remote-TPU tunnel would otherwise hang forever); 'cpu' "
+        "forces the CPU backend; 'default' uses JAX's default unprobed",
+    )
     return p
 
 
@@ -82,7 +89,21 @@ def main(argv=None) -> int:
         print("Number of modality labels must match the number of K values.", file=sys.stderr)
         return 1
 
+    if args.platform == "cpu":
+        from .utils.hermetic import force_cpu
 
+        force_cpu()
+    elif args.platform == "auto":
+        from .utils.hermetic import force_cpu, probe_default_backend
+
+        platform = probe_default_backend(timeout=120.0)
+        if platform is None:
+            print(
+                "run-mmctm: default JAX backend unreachable within deadline; "
+                "falling back to CPU (use --platform default to override)",
+                file=sys.stderr,
+            )
+            force_cpu()
 
     from .parallel.restarts import fit_mmctm_restarts
     from .utils import io as io_mod

@@ -31,6 +31,7 @@ __all__ = [
     "props_from_lam",
     "run_cavi",
     "elbo_eta_z_terms",
+    "elbo_eta_z_term_dict",
 ]
 
 
@@ -191,10 +192,11 @@ def run_cavi(state, config, maxiter, tol, step_fn, verbose=False):
     )
 
 
-def elbo_eta_z_terms(lam, nu, zeta, mu, invSigma, theta, X, N, config):
-    """ElnPη + ElnPZ − ElnQη — the logistic-normal ELBO pieces shared by
-    MMCTM and IMMCTM (src/MMCTM.jl:286-318, 354-360; identical in
-    src/IMMCTM.jl:262-296, 330-336)."""
+def elbo_eta_z_term_dict(lam, nu, zeta, mu, invSigma, theta, X, N, config):
+    """The named logistic-normal ELBO pieces shared by MMCTM and IMMCTM,
+    as a dict {ElnPeta, ElnPZ, ElnQeta} (src/MMCTM.jl:286-318, 354-360;
+    identical in src/IMMCTM.jl:262-296, 330-336). Exposed per-term so the
+    reference's pending per-term tests (test/mmctm.jl:295-335) can run live."""
     D, MK = config.D, config.MK
     Ediff = lam - mu[None, :]
     chol = jnp.linalg.cholesky(invSigma)
@@ -213,4 +215,10 @@ def elbo_eta_z_terms(lam, nu, zeta, mu, invSigma, theta, X, N, config):
     )
 
     ElnQeta = -0.5 * (jnp.sum(jnp.log(nu)) + D * MK * (jnp.log(2 * jnp.pi) + 1.0))
-    return ElnPeta + ElnPZ - ElnQeta
+    return {"ElnPeta": ElnPeta, "ElnPZ": ElnPZ, "ElnQeta": ElnQeta}
+
+
+def elbo_eta_z_terms(lam, nu, zeta, mu, invSigma, theta, X, N, config):
+    """ElnPη + ElnPZ − ElnQη (see elbo_eta_z_term_dict)."""
+    t = elbo_eta_z_term_dict(lam, nu, zeta, mu, invSigma, theta, X, N, config)
+    return t["ElnPeta"] + t["ElnPZ"] - t["ElnQeta"]

@@ -310,8 +310,12 @@ def transform_states(
     verbose: bool = False,
 ):
     """Fold-in with frozen per-feature point β (fixes the reference's dead
-    transform, src/ILDA.jl:288-321)."""
+    transform, src/ILDA.jl:288-321). The trained λ/Elnβ are copied so the
+    returned state is coherent and its ELBO is the real ELBO of {trained
+    topics, new-document γ, inference ϕ} (the round-1 placeholder elbo=0.0
+    was a silent wrong-number trap)."""
     beta = beta_point(trained)
+    state = state._replace(lam=trained.lam, Elnbeta=trained.Elnbeta)
 
     def step(s):
         s = update_gamma(s, Xnew, config)
@@ -325,7 +329,7 @@ def transform_states(
         ll_history=ll_buf,
         n_iters=n_iters,
         converged=converged,
-        elbo=jnp.zeros((), config.dtype),
+        elbo=calculate_elbo(state, Xnew, F, config),
         ll=ll_buf[n_iters - 1],
     )
 

@@ -311,6 +311,27 @@ def modality_loglikelihoods(
     return jnp.stack(out)
 
 
+def docmodality_loglikelihoods(
+    X: Sequence[jnp.ndarray],
+    lam: jnp.ndarray,
+    gamma: Sequence[Sequence[jnp.ndarray]],
+    F: Sequence[Sequence[jnp.ndarray]],
+    config: IMMCTMConfig,
+) -> jnp.ndarray:
+    """(D, M) per-document per-modality normalized log-likelihood — the
+    matrix behind src/IMMCTM.jl:362-386's per-document form, batched. Docs
+    with zero counts in a modality get NaN (the reference's aggregation
+    skips them; see mmctm.docmodality_loglikelihoods)."""
+    props = props_from_lam(lam, config)
+    phi = phi_point(gamma)
+    cols = []
+    for m in range(config.M):
+        B = vocab_topic_probs(phi[m], F[m])
+        P = props[m] @ B
+        cols.append(jnp.sum(safe_xlogy(X[m], P), axis=1) / jnp.sum(X[m], axis=1))
+    return jnp.stack(cols, axis=1)
+
+
 def calculate_elbo(
     state: IMMCTMState,
     X: Sequence[jnp.ndarray],
@@ -491,7 +512,9 @@ def transform_states(
         ll_history=ll_buf,
         n_iters=n_iters,
         converged=converged,
-        elbo=jnp.zeros((), config.dtype),
+        # real ELBO of {trained topics, new-document posteriors} — the
+        # round-1 placeholder elbo=0.0 was a silent wrong-number trap
+        elbo=calculate_elbo(state, Xnew, N, F, config),
         ll=ll_buf[n_iters - 1],
     )
 
@@ -786,6 +809,7 @@ def transform(
             mu=model.state.mu, Sigma=model.state.Sigma, invSigma=model.state.invSigma
         )
     newmodel.converged = bool(result.converged)
+    newmodel.elbo = float(result.elbo)
     newmodel.ll = list(np.asarray(result.ll, dtype=np.float64))
     return newmodel
 

@@ -263,8 +263,15 @@ def transform_states(
     verbose: bool = False,
 ):
     """Fold in new documents with the trained point estimate β frozen
-    (src/LDA.jl:233-263). Returns (θ (D,K), fit diagnostics)."""
+    (src/LDA.jl:233-263). Returns (θ (D,K), fit diagnostics).
+
+    The reference's transform leaves the new model's topic-side state at its
+    random init and never computes an ELBO; here the trained λ/Elnβ are
+    copied in so the returned state is coherent and the ELBO is the real
+    ELBO of {trained topics, new-document γ, inference ϕ} (round-1 review:
+    the previous placeholder elbo=0.0 was a silent wrong-number trap)."""
     beta = beta_point(trained)
+    state = state._replace(lam=trained.lam, Elnbeta=trained.Elnbeta)
 
     def step(s):
         s = update_gamma(s, Xnew, config)
@@ -280,7 +287,7 @@ def transform_states(
         ll_history=ll_buf,
         n_iters=n_iters,
         converged=converged,
-        elbo=jnp.zeros((), config.dtype),
+        elbo=calculate_elbo(state, Xnew, config),
         ll=ll_buf[n_iters - 1],
     )
 

@@ -331,13 +331,16 @@ def phi_point(gamma: Sequence[jnp.ndarray]) -> Tuple[jnp.ndarray, ...]:
 # ---------------------------------------------------------------------------
 
 
-def calculate_elbo(
+def elbo_terms(
     state: MMCTMState, X: Sequence[jnp.ndarray], N: jnp.ndarray, config: MMCTMConfig
-) -> jnp.ndarray:
-    """The 7-term logistic-normal + Dirichlet ELBO with the Blei-Lafferty
-    ζ bound (src/MMCTM.jl:271-382). Uses the last E-step's θ (reconstructed
-    from the carried snapshot), exactly as the reference computes the final
-    ELBO from the θ of the last fitdoc! (src/MMCTM.jl:490)."""
+) -> dict:
+    """The 7 named ELBO terms of src/MMCTM.jl:271-370 as a dict
+    {ElnPphi, ElnPeta, ElnPZ, ElnPX, ElnQphi, ElnQeta, ElnQZ}; the ELBO is
+    P-terms minus Q-terms. Exposed per-term so the reference's pending
+    per-term tests (test/mmctm.jl:295-335) run live here. Uses the last
+    E-step's θ (reconstructed from the carried snapshot)."""
+    from .ctm_base import elbo_eta_z_term_dict
+
     dt = config.dtype
     theta = reconstruct_theta(state, config)
 
@@ -348,7 +351,7 @@ def calculate_elbo(
         ElnPphi += (state.alpha[m] - 1.0) * jnp.sum(state.Elnphi[m])
 
     # ElnPη + ElnPZ − ElnQη (src/MMCTM.jl:286-318, 354-360) — shared base
-    eta_z = elbo_eta_z_terms(
+    terms = elbo_eta_z_term_dict(
         state.lam, state.nu, state.zeta, state.mu, state.invSigma,
         theta, X, N, config,
     )
@@ -369,7 +372,29 @@ def calculate_elbo(
     for m in range(config.M):
         ElnQZ += jnp.einsum("dv,dvk->", X[m], xlogx(theta[m]))
 
-    return ElnPphi + eta_z + ElnPX - ElnQphi - ElnQZ
+    return {
+        "ElnPphi": ElnPphi,
+        "ElnPeta": terms["ElnPeta"],
+        "ElnPZ": terms["ElnPZ"],
+        "ElnPX": ElnPX,
+        "ElnQphi": ElnQphi,
+        "ElnQeta": terms["ElnQeta"],
+        "ElnQZ": ElnQZ,
+    }
+
+
+def calculate_elbo(
+    state: MMCTMState, X: Sequence[jnp.ndarray], N: jnp.ndarray, config: MMCTMConfig
+) -> jnp.ndarray:
+    """The 7-term logistic-normal + Dirichlet ELBO with the Blei-Lafferty
+    ζ bound (src/MMCTM.jl:271-382). Uses the last E-step's θ (reconstructed
+    from the carried snapshot), exactly as the reference computes the final
+    ELBO from the θ of the last fitdoc! (src/MMCTM.jl:490)."""
+    t = elbo_terms(state, X, N, config)
+    return (
+        t["ElnPphi"] + t["ElnPeta"] + t["ElnPZ"] + t["ElnPX"]
+        - t["ElnQphi"] - t["ElnQeta"] - t["ElnQZ"]
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -397,6 +422,24 @@ def doc_modality_loglikelihood(
 ) -> jnp.ndarray:
     """Single doc x modality log-likelihood / N (src/MMCTM.jl:384-401)."""
     return jnp.sum(safe_xlogy(Xdm, props @ phi)) / jnp.sum(Xdm)
+
+
+def docmodality_loglikelihoods(
+    X: Sequence[jnp.ndarray],
+    props: Sequence[jnp.ndarray],
+    phi: Sequence[jnp.ndarray],
+) -> jnp.ndarray:
+    """(D, M) per-document per-modality normalized mixture log-likelihood —
+    the full matrix behind `calculate_docmodality_loglikelihood`
+    (src/MMCTM.jl:384-401), computed batched. Entries for documents with zero
+    counts in a modality are NaN (the reference's per-document form divides
+    by N_d=0; its modality aggregation skips such docs, as does
+    `modality_loglikelihoods` here)."""
+    cols = []
+    for m in range(len(X)):
+        P = props[m] @ phi[m]  # (D, V_m)
+        cols.append(jnp.sum(safe_xlogy(X[m], P), axis=1) / jnp.sum(X[m], axis=1))
+    return jnp.stack(cols, axis=1)
 
 
 # ---------------------------------------------------------------------------
@@ -482,6 +525,12 @@ def transform_states(
     Xnew = tuple(Xnew)
     N = counts_per_doc(Xnew)
     phi = phi_point(trained.gamma)
+    # Copy the trained topic posterior so the returned state (and its ELBO)
+    # is coherent — the reference copies only the point estimate ϕ and leaves
+    # γ at random init (src/MMCTM.jl:515-517), but it also never computes an
+    # ELBO during transform; the round-1 placeholder elbo=0.0 here was a
+    # silent wrong-number trap.
+    state = state._replace(gamma=trained.gamma, Elnphi=trained.Elnphi)
     if not fit_gaussian:
         state = state._replace(
             mu=trained.mu, Sigma=trained.Sigma, invSigma=_spd_inverse(trained.Sigma)
@@ -503,7 +552,7 @@ def transform_states(
         ll_history=ll_buf,
         n_iters=n_iters,
         converged=converged,
-        elbo=jnp.zeros((), config.dtype),
+        elbo=calculate_elbo(state, Xnew, N, config),
         ll=ll_buf[n_iters - 1],
     )
 
@@ -853,6 +902,7 @@ def transform(
             mu=model.state.mu, Sigma=model.state.Sigma, invSigma=model.state.invSigma
         )
     newmodel.converged = bool(result.converged)
+    newmodel.elbo = float(result.elbo)
     newmodel.ll = list(np.asarray(result.ll, dtype=np.float64))
     return newmodel
 

@@ -115,11 +115,19 @@ def dryrun_multichip(n_devices: int) -> None:
     restart-parallel (the reference's only fan-out) and data-parallel with
     XLA-inserted all-reduces for the M-step.
     """
-    devices = jax.devices()
+    # Only ever touch the CPU backend: asking for the default backend can
+    # initialize a remote-TPU proxy whose wedged tunnel hangs the process
+    # (this exact call was the round-1 driver timeout). The virtual CPU mesh
+    # (xla_force_host_platform_device_count) is the supported way to validate
+    # sharding without hardware.
+    devices = jax.devices("cpu")
     if len(devices) < n_devices:
-        # the axon TPU platform can stay default even under JAX_PLATFORMS=cpu;
-        # fall back to the virtual CPU mesh explicitly
-        devices = jax.devices("cpu")
+        raise RuntimeError(
+            f"dryrun needs {n_devices} CPU devices, have {len(devices)}; "
+            "set XLA_FLAGS=--xla_force_host_platform_device_count="
+            f"{n_devices} (or call via __graft_entry__.dryrun_multichip, "
+            "which spawns a correctly-configured subprocess)"
+        )
     devices = devices[:n_devices]
     n_restart = 2 if n_devices % 2 == 0 and n_devices >= 2 else 1
     n_data = n_devices // n_restart

@@ -7,19 +7,24 @@ numerical-parity tests against the (Float64 CPU) Julia reference semantics.
 """
 
 import os
+import sys
 
-os.environ["JAX_PLATFORMS"] = "cpu"
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# Pin this process (and all subprocesses tests spawn) to the CPU backend and
+# drop the remote-TPU proxy plugin's factory BEFORE any backend initializes:
+# the deployment sitecustomize registers a proxy whose wedged tunnel hangs
+# any backend init — merely setting JAX_PLATFORMS=cpu here is too late when
+# that sitecustomize already imported jax at interpreter startup.
+from multimodalmusig_tpu.utils.hermetic import force_cpu  # noqa: E402
+
+force_cpu(n_virtual_devices=8)
 
 import jax  # noqa: E402
 
 jax.config.update("jax_enable_x64", True)
 jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
-# The axon TPU platform registers itself even when JAX_PLATFORMS=cpu; pin the
-# default device so tests genuinely run on the virtual 8-device CPU mesh.
 jax.config.update("jax_default_device", jax.devices("cpu")[0])
 
 import numpy as np  # noqa: E402

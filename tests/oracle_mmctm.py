@@ -1,0 +1,278 @@
+"""Independent full-trajectory MMCTM CAVI oracle (NumPy/SciPy only).
+
+A literal per-document implementation of the reference's fit! loop
+(src/MMCTM.jl:457-494): for every iteration, for every document,
+ζ (closed form) → θ (per-token softmax) → ν (per-coordinate scalar root
+find via scipy brentq, machine precision) → λ (damped Newton with exact
+dense Hessian solves, gradient to ~1e-12) — then the μ/Σ/γ M-step and the
+per-modality normalized log-likelihood and 7-term ELBO.
+
+This is ground truth for trajectory-level parity tests: the inner
+optimization problems are smooth and strictly concave, so solving them to
+machine precision on both sides makes the CAVI trajectory a property of the
+MATH, not of either implementation (the reference's NLopt LD_MMA at
+xtol 1e-4 sits within this tolerance band of the exact solves it
+approximates). Written from the model equations (src/common.jl:11-36,
+src/MMCTM.jl:110-382) without consulting the JAX implementation's code
+paths — see tests/test_trajectory_oracle.py for the comparisons.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import scipy.optimize
+from scipy.special import digamma, gammaln
+
+NU_LOWER_BOUND = 1e-7
+
+
+def _offsets(K):
+    out, acc = [], 0
+    for k in K:
+        out.append(acc)
+        acc += k
+    return out
+
+
+def solve_nu_exact(nu0, lam, Ndivzeta, invSigma_diag):
+    """Per-coordinate exact maximization of the ν objective
+    (src/common.jl:25-36): stationarity 1/(2ν) − a − (b/2)e^{ν/2} = 0 with
+    a = Σ⁻¹ᵢᵢ/2, b = Ndivζᵢ·e^{λᵢ}, solved by brentq to machine precision.
+    b = 0 (empty doc×modality) gives the closed form ν = 1/(2a)."""
+    MK = len(nu0)
+    out = np.empty(MK)
+    for i in range(MK):
+        a = 0.5 * invSigma_diag[i]
+        b = Ndivzeta[i] * np.exp(lam[i])
+        if b == 0.0:
+            out[i] = max(1.0 / (2.0 * a), NU_LOWER_BOUND)
+            continue
+
+        def f(nu, a=a, b=b):
+            return 0.5 / nu - a - 0.5 * b * np.exp(0.5 * nu)
+
+        hi = 1.0 / (2.0 * a)  # f(hi) = −(b/2)e^{hi/2} < 0
+        lo = min(1e-12, hi * 0.5)
+        out[i] = max(
+            scipy.optimize.brentq(f, lo, hi, xtol=1e-15, rtol=8.9e-16, maxiter=200),
+            NU_LOWER_BOUND,
+        )
+    return out
+
+
+def solve_lambda_exact(lam0, nu, Ndivzeta, sumtheta, mu, invSigma, gtol=1e-12):
+    """Damped Newton maximization of the λ objective (src/common.jl:11-23):
+    ∇ = −Σ⁻¹(λ−μ) + sumθ − w, H = −(Σ⁻¹ + diag(w)), w = Ndivζ·e^{λ+ν/2}.
+    Strictly concave ⇒ Newton with backtracking converges globally."""
+    lam = lam0.astype(np.float64).copy()
+
+    def value(l):
+        diff = l - mu
+        return (
+            -0.5 * diff @ invSigma @ diff
+            + l @ sumtheta
+            - np.sum(Ndivzeta * np.exp(l + 0.5 * nu))
+        )
+
+    f = value(lam)
+    for _ in range(200):
+        w = Ndivzeta * np.exp(lam + 0.5 * nu)
+        g = -(invSigma @ (lam - mu)) + sumtheta - w
+        if np.max(np.abs(g)) < gtol:
+            break
+        H = invSigma + np.diag(w)
+        delta = np.linalg.solve(H, g)
+        s = 1.0
+        for _ in range(60):
+            cand = lam + s * delta
+            fc = value(cand)
+            if np.isfinite(fc) and fc >= f:
+                lam, f = cand, fc
+                break
+            s *= 0.5
+        else:
+            break  # no improving step at 2^-60: already at float resolution
+    return lam
+
+
+def oracle_init(X, K, alpha, gamma):
+    """Initial state matching the reference's (src/MMCTM.jl:29-91): given γ
+    (the only random piece), μ=0, Σ=invΣ=I, λ=0, ν=1, ζ consistent."""
+    M = len(K)
+    MK = sum(K)
+    D = X[0].shape[0]
+    off = _offsets(K)
+    lam = np.zeros((D, MK))
+    nu = np.ones((D, MK))
+    zeta = np.empty((D, M))
+    e = np.exp(lam + 0.5 * nu)
+    for m in range(M):
+        zeta[:, m] = e[:, off[m]: off[m] + K[m]].sum(axis=1)
+    return dict(
+        mu=np.zeros(MK),
+        Sigma=np.eye(MK),
+        invSigma=np.eye(MK),
+        alpha=np.asarray(alpha, np.float64),
+        gamma=[np.asarray(g, np.float64).copy() for g in gamma],
+        lam=lam,
+        nu=nu,
+        zeta=zeta,
+    )
+
+
+def _Eln(gamma):
+    return [digamma(g) - digamma(g.sum(axis=1, keepdims=True)) for g in gamma]
+
+
+def _theta_doc(lam_d, Eln, K, off):
+    """θ[m][v, k] ∝ exp(λ_dk + E[ln ϕ_mkv]), per modality, for one doc."""
+    out = []
+    for m in range(len(K)):
+        logits = lam_d[off[m]: off[m] + K[m]][None, :] + Eln[m].T  # (V_m, K_m)
+        e = np.exp(logits - logits.max(axis=1, keepdims=True))
+        out.append(e / e.sum(axis=1, keepdims=True))
+    return out
+
+
+def oracle_loglikelihoods(X, lam, gamma, K, off):
+    """(M,) per-modality normalized mixture ll (src/MMCTM.jl:384-448)."""
+    M = len(K)
+    D = X[0].shape[0]
+    out = np.empty(M)
+    for m in range(M):
+        phi = gamma[m] / gamma[m].sum(axis=1, keepdims=True)  # (K_m, V_m)
+        ll, N = 0.0, 0.0
+        for d in range(D):
+            lb = lam[d, off[m]: off[m] + K[m]]
+            e = np.exp(lb - lb.max())
+            props = e / e.sum()
+            P = props @ phi
+            mask = X[m][d] > 0
+            ll += np.sum(X[m][d][mask] * np.log(P[mask]))
+            N += X[m][d].sum()
+        out[m] = ll / N
+    return out
+
+
+def oracle_elbo(state, theta, X, K, off):
+    """7-term ELBO (src/MMCTM.jl:271-382) from explicit loops."""
+    M = len(K)
+    MK = sum(K)
+    D = X[0].shape[0]
+    s = state
+    Eln = _Eln(s["gamma"])
+    N = np.array([[X[m][d].sum() for m in range(M)] for d in range(D)])
+
+    def logmvbeta(vals):
+        return gammaln(vals).sum() - gammaln(vals.sum())
+
+    ElnPphi = 0.0
+    for m in range(M):
+        for k in range(K[m]):
+            ElnPphi -= logmvbeta(np.full(X[m].shape[1], s["alpha"][m]))
+            ElnPphi += (s["alpha"][m] - 1.0) * Eln[m][k].sum()
+
+    invS = s["invSigma"]
+    ElnPeta = 0.0
+    for d in range(D):
+        diff = s["lam"][d] - s["mu"]
+        ElnPeta += 0.5 * (
+            np.linalg.slogdet(invS)[1]
+            - MK * np.log(2 * np.pi)
+            - np.trace(np.diag(s["nu"][d]) @ invS)
+            - diff @ invS @ diff
+        )
+
+    ElnPZ = 0.0
+    for d in range(D):
+        Eeta = np.exp(s["lam"][d] + 0.5 * s["nu"][d])
+        for m in range(M):
+            blk = slice(off[m], off[m] + K[m])
+            sumth = X[m][d] @ theta[d][m]  # (K_m,)
+            ElnPZ += s["lam"][d, blk] @ sumth
+            ElnPZ -= (N[d, m] / s["zeta"][d, m]) * Eeta[blk].sum() - N[d, m]
+            ElnPZ -= N[d, m] * np.log(s["zeta"][d, m])
+
+    ElnPX = 0.0
+    for d in range(D):
+        for m in range(M):
+            ElnPX += np.einsum("v,vk,kv->", X[m][d], theta[d][m], Eln[m])
+
+    ElnQphi = 0.0
+    for m in range(M):
+        for k in range(K[m]):
+            ElnQphi -= logmvbeta(s["gamma"][m][k])
+            ElnQphi += (s["gamma"][m][k] - 1.0) @ Eln[m][k]
+
+    ElnQeta = 0.0
+    for d in range(D):
+        ElnQeta -= 0.5 * (np.sum(np.log(s["nu"][d])) + MK * (np.log(2 * np.pi) + 1.0))
+
+    ElnQZ = 0.0
+    for d in range(D):
+        for m in range(M):
+            t = theta[d][m]
+            ElnQZ += np.sum(X[m][d][:, None] * np.where(t > 0, t * np.log(np.where(t > 0, t, 1.0)), 0.0))
+
+    terms = dict(
+        ElnPphi=ElnPphi, ElnPeta=ElnPeta, ElnPZ=ElnPZ, ElnPX=ElnPX,
+        ElnQphi=ElnQphi, ElnQeta=ElnQeta, ElnQZ=ElnQZ,
+    )
+    elbo = ElnPphi + ElnPeta + ElnPZ + ElnPX - ElnQphi - ElnQeta - ElnQZ
+    return elbo, terms
+
+
+def oracle_fit(X, K, alpha, gamma_init, n_iters, update_sigma=True):
+    """Run n_iters reference-structured CAVI iterations; returns
+    (state, ll_history (n_iters, M), elbo_history (n_iters,), theta)."""
+    M = len(K)
+    MK = sum(K)
+    D = X[0].shape[0]
+    off = _offsets(K)
+    s = oracle_init(X, K, alpha, gamma_init)
+    N = np.array([[X[m][d].sum() for m in range(M)] for d in range(D)])
+
+    ll_hist = np.empty((n_iters, M))
+    elbo_hist = np.empty(n_iters)
+    theta = None
+    for it in range(n_iters):
+        Eln = _Eln(s["gamma"])
+        theta = []
+        # E-step: per document ζ → θ → ν → λ (src/MMCTM.jl:450-455)
+        for d in range(D):
+            e = np.exp(s["lam"][d] + 0.5 * s["nu"][d])
+            for m in range(M):
+                s["zeta"][d, m] = e[off[m]: off[m] + K[m]].sum()
+            th = _theta_doc(s["lam"][d], Eln, K, off)
+            theta.append(th)
+            Ndivzeta = np.empty(MK)
+            sumtheta = np.empty(MK)
+            for m in range(M):
+                blk = slice(off[m], off[m] + K[m])
+                Ndivzeta[blk] = N[d, m] / s["zeta"][d, m]
+                sumtheta[blk] = X[m][d] @ th[m]
+            s["nu"][d] = solve_nu_exact(
+                s["nu"][d], s["lam"][d], Ndivzeta, np.diag(s["invSigma"])
+            )
+            s["lam"][d] = solve_lambda_exact(
+                s["lam"][d], s["nu"][d], Ndivzeta, sumtheta, s["mu"], s["invSigma"]
+            )
+
+        # M-step (src/MMCTM.jl:200-242)
+        s["mu"] = s["lam"].mean(axis=0)
+        if update_sigma:
+            E = s["lam"] - s["mu"]
+            s["Sigma"] = (np.diag(s["nu"].sum(axis=0)) + E.T @ E) / D
+            s["invSigma"] = np.linalg.inv(s["Sigma"])
+        for m in range(M):
+            g = np.full_like(s["gamma"][m], s["alpha"][m])
+            for d in range(D):
+                g += (X[m][d][:, None] * theta[d][m]).T
+            s["gamma"][m] = g
+
+        ll_hist[it] = oracle_loglikelihoods(X, s["lam"], s["gamma"], K, off)
+        # ELBO of the current state with this iteration's θ (the reference
+        # computes it from the last fitdoc!'s θ, src/MMCTM.jl:490)
+        elbo_hist[it], _ = oracle_elbo(s, theta, X, K, off)
+
+    return s, ll_hist, elbo_hist, theta

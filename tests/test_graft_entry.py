@@ -20,4 +20,12 @@ def test_entry_compiles_and_runs():
 
 
 def test_dryrun_multichip():
+    # the driver hook: spawns a scrubbed hermetic CPU subprocess
     graft.dryrun_multichip(8)
+
+
+def test_dryrun_multichip_inprocess():
+    # the underlying mesh dryrun, in this process's 8-device CPU mesh
+    from multimodalmusig_tpu.parallel.sharding import dryrun_multichip
+
+    dryrun_multichip(8)

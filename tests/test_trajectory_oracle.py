@@ -1,0 +1,180 @@
+"""Trajectory-level parity: the full jitted MMCTM CAVI fit against the
+independent per-document NumPy/SciPy oracle (tests/oracle_mmctm.py), in
+float64, for 12+ iterations from identical initializations.
+
+This is the ground-truth oracle SURVEY.md §6 prescribes (per-modality ll,
+src/MMCTM.jl:384-448, and ELBO, src/MMCTM.jl:372-382, matching on identical
+inputs to numerical tolerance) — Julia is not installed in this image, so the
+oracle is a machine-precision-solve re-derivation of the same math: the inner
+λ/ν problems are strictly concave, so at tight solve tolerance the trajectory
+is a property of the math, not of either implementation. This replaces the
+round-1 self-generated goldens as ground truth."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from multimodalmusig_tpu.models import ctm_base, mmctm as mod
+from multimodalmusig_tpu.models.mmctm import MMCTM, MMCTMConfig, init_with_alpha
+
+from oracle_mmctm import (
+    oracle_elbo,
+    oracle_fit,
+    solve_lambda_exact,
+    solve_nu_exact,
+    _offsets,
+)
+
+
+def _run_jax(Xnp, K, alpha, n_iters, seed=0, autoalpha=False):
+    config = MMCTMConfig(
+        K=tuple(K), V=tuple(x.shape[1] for x in Xnp), D=Xnp[0].shape[0],
+        dtype=jnp.float64,
+    )
+    X = tuple(jnp.asarray(x, jnp.float64) for x in Xnp)
+    state = init_with_alpha(jax.random.key(seed), config, X, alpha)
+    gamma_init = [np.asarray(g) for g in state.gamma]
+    result = jax.jit(
+        mod.fit, static_argnames=("config", "maxiter", "tol", "autoalpha")
+    )(state, X, config, maxiter=n_iters, tol=0.0, autoalpha=autoalpha)
+    return config, X, gamma_init, result
+
+
+class TestTrajectoryParity:
+    """12-iteration fits from identical inits must agree at rtol <= 1e-8."""
+
+    def _compare(self, Xnp, K, alpha, n_iters=12):
+        config, X, gamma_init, result = _run_jax(Xnp, K, alpha, n_iters)
+        s, ll_hist, elbo_hist, theta = oracle_fit(Xnp, K, alpha, gamma_init, n_iters)
+
+        got_ll = np.asarray(result.ll_history[:n_iters], np.float64)
+        np.testing.assert_allclose(got_ll, ll_hist, rtol=1e-8)
+        np.testing.assert_allclose(float(result.elbo), elbo_hist[-1], rtol=1e-8)
+        np.testing.assert_allclose(np.asarray(result.state.mu), s["mu"], rtol=1e-8)
+        np.testing.assert_allclose(
+            np.asarray(result.state.Sigma), s["Sigma"], rtol=1e-7, atol=1e-12
+        )
+        np.testing.assert_allclose(np.asarray(result.state.lam), s["lam"], rtol=1e-7, atol=1e-10)
+        np.testing.assert_allclose(np.asarray(result.state.nu), s["nu"], rtol=1e-7)
+        for m in range(len(K)):
+            np.testing.assert_allclose(
+                np.asarray(result.state.gamma[m]), s["gamma"][m], rtol=1e-8
+            )
+        return config, X, result, s, theta
+
+    def test_reference_fixture_trajectory(self, mmctm_fixture):
+        """The reference's hand-built 2-doc corpus (test/mmctm.jl:4-33)."""
+        from multimodalmusig_tpu.utils.formatting import sparse_to_dense
+
+        K = mmctm_fixture["K"]
+        M = len(K)
+        Vs = [
+            max(int(doc[m][:, 0].max()) for doc in mmctm_fixture["X"])
+            for m in range(M)
+        ]
+        Xnp = [
+            sparse_to_dense([doc[m] for doc in mmctm_fixture["X"]], Vs[m]).astype(np.float64)
+            for m in range(M)
+        ]
+        self._compare(Xnp, K, mmctm_fixture["alpha"], n_iters=15)
+
+    def test_random_corpus_trajectory(self, rng):
+        """A denser random corpus (more docs than the hand fixture)."""
+        K = [3, 2]
+        Xnp = [
+            rng.integers(0, 9, size=(6, 7)).astype(np.float64),
+            rng.integers(0, 9, size=(6, 5)).astype(np.float64),
+        ]
+        config, X, result, s, theta = self._compare(Xnp, K, [0.1, 0.2], n_iters=12)
+
+        # per-term ELBO parity — the reference's pending per-term tests
+        # (test/mmctm.jl:295-335), live: every named term must match the
+        # loop-oracle's independent derivation.
+        N = ctm_base.counts_per_doc(X)
+        got_terms = {
+            k: float(v)
+            for k, v in mod.elbo_terms(result.state, X, N, config).items()
+        }
+        _, want_terms = oracle_elbo(s, theta, Xnp, K, _offsets(K))
+        assert set(got_terms) == set(want_terms)
+        for name in got_terms:
+            np.testing.assert_allclose(
+                got_terms[name], want_terms[name], rtol=1e-8, err_msg=name
+            )
+
+    def test_update_sigma_false_trajectory(self, rng):
+        """updateΣ=false branch: Σ must stay the identity throughout."""
+        K = [2, 2]
+        Xnp = [
+            rng.integers(0, 7, size=(4, 6)).astype(np.float64),
+            rng.integers(0, 7, size=(4, 4)).astype(np.float64),
+        ]
+        config = MMCTMConfig(K=(2, 2), V=(6, 4), D=4, dtype=jnp.float64)
+        X = tuple(jnp.asarray(x) for x in Xnp)
+        state = init_with_alpha(jax.random.key(3), config, X, [0.1, 0.1])
+        gamma_init = [np.asarray(g) for g in state.gamma]
+        result = jax.jit(
+            mod.fit, static_argnames=("config", "maxiter", "tol", "update_sigma")
+        )(state, X, config, maxiter=8, tol=0.0, update_sigma=False)
+        s, ll_hist, elbo_hist, _ = oracle_fit(
+            Xnp, K, [0.1, 0.1], gamma_init, 8, update_sigma=False
+        )
+        np.testing.assert_allclose(
+            np.asarray(result.ll_history[:8], np.float64), ll_hist, rtol=1e-8
+        )
+        np.testing.assert_allclose(np.asarray(result.state.Sigma), np.eye(4))
+
+
+class TestSolverExactness:
+    """The batched fixed-count solvers must land on the oracle's
+    machine-precision optima (warm-start + polish reach the same point)."""
+
+    def test_lambda_solver_matches_exact(self, rng):
+        MK = 7
+        B = 32
+        A = rng.normal(size=(MK, MK))
+        invSigma = np.eye(MK) + A @ A.T / MK
+        mu = rng.normal(size=MK)
+        lam0 = rng.normal(size=(B, MK))
+        nu = rng.uniform(0.2, 2.0, size=(B, MK))
+        Ndivzeta = rng.uniform(0.0, 30.0, size=(B, MK))
+        Ndivzeta[0] = 0.0  # empty-doc lane
+        sumtheta = rng.uniform(0.0, 20.0, size=(B, MK))
+
+        from multimodalmusig_tpu.ops.solvers import maximize_lambda
+
+        got = np.asarray(
+            maximize_lambda(
+                jnp.asarray(lam0), jnp.asarray(nu), jnp.asarray(Ndivzeta),
+                jnp.asarray(sumtheta), jnp.asarray(mu), jnp.asarray(invSigma),
+            )
+        )
+        for b in range(B):
+            want = solve_lambda_exact(
+                lam0[b], nu[b], Ndivzeta[b], sumtheta[b], mu, invSigma
+            )
+            np.testing.assert_allclose(got[b], want, rtol=1e-9, atol=1e-9)
+
+    def test_nu_solver_matches_exact(self, rng):
+        MK = 6
+        B = 24
+        diag = rng.uniform(0.3, 4.0, size=MK)
+        lam = rng.normal(size=(B, MK))
+        nu0 = rng.uniform(0.2, 2.0, size=(B, MK))
+        Ndivzeta = rng.uniform(0.0, 30.0, size=(B, MK))
+        Ndivzeta[1] = 0.0
+
+        from multimodalmusig_tpu.ops.solvers import maximize_nu
+
+        got = np.asarray(
+            maximize_nu(
+                jnp.asarray(nu0), jnp.asarray(lam), jnp.asarray(Ndivzeta),
+                jnp.asarray(diag)[None, :],
+            )
+        )
+        for b in range(B):
+            want = solve_nu_exact(nu0[b], lam[b], Ndivzeta[b], diag)
+            np.testing.assert_allclose(got[b], want, rtol=1e-10)
