@@ -222,7 +222,210 @@ def oracle_elbo(state, theta, X, K, off):
     return elbo, terms
 
 
-def oracle_fit(X, K, alpha, gamma_init, n_iters, update_sigma=True):
+def solve_alpha_exact(sum_Elnphi, K, V):
+    """Exact symmetric-Dirichlet hyperparameter MLE (src/common.jl:38-46):
+    root of g(α) = K·V·(ψ(Vα) − ψ(α)) + ΣElnϕ, concave objective, by brentq."""
+
+    def g(a):
+        return K * V * (digamma(V * a) - digamma(a)) + sum_Elnphi
+
+    lo = 1e-10
+    hi = 1.0
+    while g(hi) > 0 and hi < 1e12:
+        hi *= 4.0
+    if g(hi) > 0:
+        return hi
+    return max(
+        scipy.optimize.brentq(g, lo, hi, xtol=1e-15, rtol=8.9e-16, maxiter=300),
+        1e-7,
+    )
+
+
+def oracle_fit_immctm(X, K, features, alpha, gamma_init, n_iters,
+                      autoalpha=False):
+    """Independent per-document IMMCTM CAVI trajectory: the feature-factorized
+    model (src/IMMCTM.jl:430-466) with per-feature Dirichlets γ[m][i] and
+    θ logits summing per-feature digamma expectations (src/IMMCTM.jl:152-172).
+    Inner λ/ν solves at machine precision as in oracle_fit. Returns
+    (state, ll_history, elbo_history, theta)."""
+    M = len(K)
+    MK = sum(K)
+    D = X[0].shape[0]
+    off = _offsets(K)
+    I = [features[m].shape[1] for m in range(M)]
+    J = [[int(features[m][:, i].max()) for i in range(I[m])] for m in range(M)]
+
+    s = dict(
+        mu=np.zeros(MK),
+        Sigma=np.eye(MK),
+        invSigma=np.eye(MK),
+        alpha=[np.asarray(am, np.float64).copy() for am in alpha],
+        gamma=[[np.asarray(g, np.float64).copy() for g in gm] for gm in gamma_init],
+        lam=np.zeros((D, MK)),
+        nu=np.ones((D, MK)),
+        zeta=np.ones((D, M)),
+    )
+    N = np.array([[X[m][d].sum() for m in range(M)] for d in range(D)])
+
+    def Eln_all():
+        return [
+            [digamma(g) - digamma(g.sum(axis=1, keepdims=True)) for g in gm]
+            for gm in s["gamma"]
+        ]
+
+    def logw_m(Eln, m):
+        """(V_m, K_m): Σ_i Elnϕ_m,i[k, features[v,i]-1]."""
+        V = X[m].shape[1]
+        out = np.zeros((V, K[m]))
+        for v in range(V):
+            for i in range(I[m]):
+                out[v] += Eln[m][i][:, features[m][v, i] - 1]
+        return out
+
+    def theta_all(Eln):
+        th = []
+        for d in range(D):
+            row = []
+            for m in range(M):
+                logits = s["lam"][d, off[m]: off[m] + K[m]][None, :] + logw_m(Eln, m)
+                e = np.exp(logits - logits.max(axis=1, keepdims=True))
+                row.append(e / e.sum(axis=1, keepdims=True))
+            th.append(row)
+        return th
+
+    def loglikelihoods():
+        out = np.empty(M)
+        for m in range(M):
+            phi = [g / g.sum(axis=1, keepdims=True) for g in s["gamma"][m]]
+            V = X[m].shape[1]
+            B = np.ones((K[m], V))
+            for v in range(V):
+                for i in range(I[m]):
+                    B[:, v] *= phi[i][:, features[m][v, i] - 1]
+            ll, Ntot = 0.0, 0.0
+            for d in range(D):
+                lb = s["lam"][d, off[m]: off[m] + K[m]]
+                e = np.exp(lb - lb.max())
+                P = (e / e.sum()) @ B
+                mask = X[m][d] > 0
+                ll += np.sum(X[m][d][mask] * np.log(P[mask]))
+                Ntot += X[m][d].sum()
+            out[m] = ll / Ntot
+        return out
+
+    def elbo(theta):
+        Eln = Eln_all()
+
+        def logmvbeta(vals):
+            return gammaln(vals).sum() - gammaln(vals.sum())
+
+        ElnPphi = 0.0
+        ElnQphi = 0.0
+        for m in range(M):
+            for i in range(I[m]):
+                for k in range(K[m]):
+                    ElnPphi -= logmvbeta(np.full(J[m][i], s["alpha"][m][i]))
+                    ElnPphi += (s["alpha"][m][i] - 1.0) * Eln[m][i][k].sum()
+                    ElnQphi -= logmvbeta(s["gamma"][m][i][k])
+                    ElnQphi += (s["gamma"][m][i][k] - 1.0) @ Eln[m][i][k]
+
+        invS = s["invSigma"]
+        ElnPeta = sum(
+            0.5 * (
+                np.linalg.slogdet(invS)[1]
+                - MK * np.log(2 * np.pi)
+                - np.trace(np.diag(s["nu"][d]) @ invS)
+                - (s["lam"][d] - s["mu"]) @ invS @ (s["lam"][d] - s["mu"])
+            )
+            for d in range(D)
+        )
+
+        ElnPZ = 0.0
+        for d in range(D):
+            Eeta = np.exp(s["lam"][d] + 0.5 * s["nu"][d])
+            for m in range(M):
+                blk = slice(off[m], off[m] + K[m])
+                ElnPZ += s["lam"][d, blk] @ (X[m][d] @ theta[d][m])
+                ElnPZ -= (N[d, m] / s["zeta"][d, m]) * Eeta[blk].sum() - N[d, m]
+                ElnPZ -= N[d, m] * np.log(s["zeta"][d, m])
+
+        ElnPX = 0.0
+        for d in range(D):
+            for m in range(M):
+                lw = logw_m(Eln, m)  # (V, K)
+                ElnPX += np.sum(X[m][d][:, None] * theta[d][m] * lw)
+
+        ElnQeta = sum(
+            -0.5 * (np.sum(np.log(s["nu"][d])) + MK * (np.log(2 * np.pi) + 1.0))
+            for d in range(D)
+        )
+
+        ElnQZ = 0.0
+        for d in range(D):
+            for m in range(M):
+                t = theta[d][m]
+                ElnQZ += np.sum(
+                    X[m][d][:, None]
+                    * np.where(t > 0, t * np.log(np.where(t > 0, t, 1.0)), 0.0)
+                )
+
+        return ElnPphi + ElnPeta + ElnPZ + ElnPX - ElnQphi - ElnQeta - ElnQZ
+
+    ll_hist = np.empty((n_iters, M))
+    elbo_hist = np.empty(n_iters)
+    theta = None
+    for it in range(n_iters):
+        Eln = Eln_all()
+        theta = theta_all(Eln)
+        for d in range(D):
+            e = np.exp(s["lam"][d] + 0.5 * s["nu"][d])
+            for m in range(M):
+                s["zeta"][d, m] = e[off[m]: off[m] + K[m]].sum()
+            # θ above used pre-ζ-update state λ; recompute θ_d AFTER ζ like
+            # the batched e_step (θ depends only on λ/Elnϕ, so order is moot)
+            Ndivzeta = np.empty(MK)
+            sumtheta = np.empty(MK)
+            for m in range(M):
+                blk = slice(off[m], off[m] + K[m])
+                Ndivzeta[blk] = N[d, m] / s["zeta"][d, m]
+                sumtheta[blk] = X[m][d] @ theta[d][m]
+            s["nu"][d] = solve_nu_exact(
+                s["nu"][d], s["lam"][d], Ndivzeta, np.diag(s["invSigma"])
+            )
+            s["lam"][d] = solve_lambda_exact(
+                s["lam"][d], s["nu"][d], Ndivzeta, sumtheta, s["mu"], s["invSigma"]
+            )
+
+        s["mu"] = s["lam"].mean(axis=0)
+        E = s["lam"] - s["mu"]
+        s["Sigma"] = (np.diag(s["nu"].sum(axis=0)) + E.T @ E) / D
+        s["invSigma"] = np.linalg.inv(s["Sigma"])
+        for m in range(M):
+            W = np.zeros((K[m], X[m].shape[1]))
+            for d in range(D):
+                W += (X[m][d][:, None] * theta[d][m]).T
+            for i in range(I[m]):
+                g = np.full((K[m], J[m][i]), s["alpha"][m][i])
+                for v in range(X[m].shape[1]):
+                    g[:, features[m][v, i] - 1] += W[:, v]
+                s["gamma"][m][i] = g
+
+        if autoalpha:
+            Eln_new = Eln_all()
+            for m in range(M):
+                for i in range(I[m]):
+                    s["alpha"][m][i] = solve_alpha_exact(
+                        Eln_new[m][i].sum(), K[m], J[m][i]
+                    )
+
+        ll_hist[it] = loglikelihoods()
+        elbo_hist[it] = elbo(theta)
+
+    return s, ll_hist, elbo_hist, theta
+
+
+def oracle_fit(X, K, alpha, gamma_init, n_iters, update_sigma=True,
+               autoalpha=False):
     """Run n_iters reference-structured CAVI iterations; returns
     (state, ll_history (n_iters, M), elbo_history (n_iters,), theta)."""
     M = len(K)
@@ -269,6 +472,14 @@ def oracle_fit(X, K, alpha, gamma_init, n_iters, update_sigma=True):
             for d in range(D):
                 g += (X[m][d][:, None] * theta[d][m]).T
             s["gamma"][m] = g
+
+        if autoalpha:
+            # per-modality MLE from the refreshed E[ln ϕ] (src/MMCTM.jl:252-269)
+            Eln_new = _Eln(s["gamma"])
+            for m in range(M):
+                s["alpha"][m] = solve_alpha_exact(
+                    Eln_new[m].sum(), K[m], X[m].shape[1]
+                )
 
         ll_hist[it] = oracle_loglikelihoods(X, s["lam"], s["gamma"], K, off)
         # ELBO of the current state with this iteration's θ (the reference

@@ -128,6 +128,143 @@ class TestTrajectoryParity:
         np.testing.assert_allclose(np.asarray(result.state.Sigma), np.eye(4))
 
 
+class TestAutoAlphaTrajectory:
+    def test_autoalpha_trajectory(self, rng):
+        """autoα=true: the per-modality symmetric-Dirichlet MLE enters the
+        trajectory; must still track the exact-solve oracle."""
+        K = [2, 3]
+        Xnp = [
+            rng.integers(0, 8, size=(5, 6)).astype(np.float64),
+            rng.integers(0, 8, size=(5, 4)).astype(np.float64),
+        ]
+        config, X, gamma_init, result = _run_jax(
+            Xnp, K, [0.1, 0.1], n_iters=10, autoalpha=True
+        )
+        s, ll_hist, elbo_hist, _ = oracle_fit(
+            Xnp, K, [0.1, 0.1], gamma_init, 10, autoalpha=True
+        )
+        np.testing.assert_allclose(
+            np.asarray(result.ll_history[:10], np.float64), ll_hist, rtol=1e-8
+        )
+        np.testing.assert_allclose(
+            np.asarray(result.state.alpha), s["alpha"], rtol=1e-8
+        )
+        assert not np.allclose(s["alpha"], [0.1, 0.1])  # α actually moved
+        np.testing.assert_allclose(float(result.elbo), elbo_hist[-1], rtol=1e-8)
+
+
+class TestIMMCTMTrajectory:
+    """The feature-factorized flagship variant against its own independent
+    per-document oracle (oracle_fit_immctm) — pins the 4-level γ scatter,
+    the per-feature θ logits, and the per-feature ELBO accumulation (the
+    reference's ILDA analogue of that accumulation is buggy, ILDA.jl:174-181,
+    so this cannot be checked against the reference even in principle)."""
+
+    def _setup(self, rng, D=5):
+        from multimodalmusig_tpu.models.ilda import feature_onehots
+        from multimodalmusig_tpu.models.immctm import IMMCTMConfig
+
+        K = [2, 3]
+        V = [6, 5]
+        J = ((3, 2), (2, 4))
+        features = []
+        for m in range(2):
+            f = np.stack(
+                [rng.integers(1, j + 1, size=V[m]) for j in J[m]], axis=1
+            )
+            for i, j in enumerate(J[m]):
+                f[:j, i] = np.arange(1, j + 1)
+            features.append(f)
+        Xnp = [rng.integers(0, 8, size=(D, V[m])).astype(np.float64) for m in range(2)]
+        cfg = IMMCTMConfig(K=tuple(K), V=tuple(V), D=D, dtype=jnp.float64, J=J)
+        F = tuple(feature_onehots(features[m], J[m], jnp.float64) for m in range(2))
+        return K, V, J, features, Xnp, cfg, F
+
+    @pytest.mark.parametrize("autoalpha", [False, True])
+    def test_immctm_trajectory(self, rng, autoalpha):
+        from multimodalmusig_tpu.models import immctm as imod
+        from oracle_mmctm import oracle_fit_immctm
+
+        K, V, J, features, Xnp, cfg, F = self._setup(rng)
+        alpha = [[0.1, 0.2], [0.15, 0.1]]
+        state = imod.init(jax.random.key(2), cfg, alpha)
+        gamma_init = [
+            [np.asarray(g) for g in gm] for gm in state.gamma
+        ]
+        n = 10
+        X = tuple(jnp.asarray(x) for x in Xnp)
+        result = jax.jit(
+            imod.fit, static_argnames=("config", "maxiter", "tol", "autoalpha")
+        )(state, X, F, cfg, maxiter=n, tol=0.0, autoalpha=autoalpha)
+        s, ll_hist, elbo_hist, _ = oracle_fit_immctm(
+            Xnp, K, features, alpha, gamma_init, n, autoalpha=autoalpha
+        )
+        np.testing.assert_allclose(
+            np.asarray(result.ll_history[:n], np.float64), ll_hist, rtol=1e-8
+        )
+        np.testing.assert_allclose(float(result.elbo), elbo_hist[-1], rtol=1e-8)
+        np.testing.assert_allclose(np.asarray(result.state.mu), s["mu"], rtol=1e-7)
+        for m in range(2):
+            for i in range(len(J[m])):
+                np.testing.assert_allclose(
+                    np.asarray(result.state.gamma[m][i]), s["gamma"][m][i], rtol=1e-8
+                )
+            if autoalpha:
+                np.testing.assert_allclose(
+                    np.asarray(result.state.alpha[m]), s["alpha"][m], rtol=1e-8
+                )
+
+
+def _oracle_lda_fit(X, K, alpha, eta, lam_init, n_iters):
+    """Independent LDA CAVI trajectory (src/LDA.jl:198-224): γ from current ϕ,
+    ϕ from refreshed Elnθ + current Elnβ, λ from new ϕ, then per-word ll."""
+    from scipy.special import digamma as dg
+
+    D, V = X.shape
+    lam = lam_init.astype(np.float64).copy()  # (V, K)
+    gamma = np.ones((D, K))
+    phi = np.full((D, V, K), 1.0 / K)
+    Elnb = dg(lam) - dg(lam.sum(axis=0, keepdims=True))
+    ll_hist = np.empty(n_iters)
+    for it in range(n_iters):
+        gamma = alpha + np.einsum("dv,dvk->dk", X, phi)
+        Elnt = dg(gamma) - dg(gamma.sum(axis=1, keepdims=True))
+        logits = Elnt[:, None, :] + Elnb[None, :, :]
+        e = np.exp(logits - logits.max(axis=2, keepdims=True))
+        phi = e / e.sum(axis=2, keepdims=True)
+        lam = eta + np.einsum("dv,dvk->vk", X, phi)
+        Elnb = dg(lam) - dg(lam.sum(axis=0, keepdims=True))
+        theta = gamma / gamma.sum(axis=1, keepdims=True)
+        beta = lam / lam.sum(axis=0, keepdims=True)
+        P = theta @ beta.T
+        mask = X > 0
+        ll_hist[it] = np.sum(X[mask] * np.log(P[mask])) / X.sum()
+    return lam, gamma, ll_hist
+
+
+class TestLDATrajectory:
+    def test_lda_trajectory(self, rng):
+        """Full LDA fit trajectory vs the independent closed-form oracle
+        (no solver involved: pins iteration ORDER and data flow)."""
+        from multimodalmusig_tpu.models import lda as lmod
+        from multimodalmusig_tpu.models.lda import LDAConfig
+
+        D, V, K = 6, 9, 3
+        Xnp = rng.integers(0, 7, size=(D, V)).astype(np.float64)
+        cfg = LDAConfig(K=K, V=V, D=D, alpha=0.1, eta=0.2, dtype=jnp.float64)
+        state = lmod.init(jax.random.key(1), cfg)
+        lam_init = np.asarray(state.lam)
+        result = jax.jit(
+            lmod.fit, static_argnames=("config", "maxiter", "tol")
+        )(state, jnp.asarray(Xnp), cfg, maxiter=14, tol=0.0)
+        lam, gamma, ll_hist = _oracle_lda_fit(Xnp, K, 0.1, 0.2, lam_init, 14)
+        np.testing.assert_allclose(
+            np.asarray(result.ll_history[:14], np.float64), ll_hist, rtol=1e-10
+        )
+        np.testing.assert_allclose(np.asarray(result.state.lam), lam, rtol=1e-10)
+        np.testing.assert_allclose(np.asarray(result.state.gamma), gamma, rtol=1e-10)
+
+
 class TestSolverExactness:
     """The batched fixed-count solvers must land on the oracle's
     machine-precision optima (warm-start + polish reach the same point)."""
