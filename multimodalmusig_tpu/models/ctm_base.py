@@ -133,9 +133,15 @@ def spd_inverse(Sigma: jnp.ndarray) -> jnp.ndarray:
 
 
 def update_Sigma_mats(lam, nu, mu, D):
-    """Σ = (Σ_d diag(ν_d) + (λ_d-μ)(λ_d-μ)ᵀ)/D and invΣ (src/MMCTM.jl:204-212)."""
+    """Σ = (Σ_d diag(ν_d) + (λ_d-μ)(λ_d-μ)ᵀ)/D and invΣ (src/MMCTM.jl:204-212).
+
+    The Gram matrix runs at HIGHEST precision: Σ can be ill-conditioned (its
+    smallest diagonal reaches ~5e-3 on the BRCA workload), and the TPU's
+    default single-bf16-pass f32 matmul (~3e-3 rel. error) would poison
+    every downstream Σ⁻¹ solve."""
     E = lam - mu[None, :]
-    Sigma = (jnp.diag(nu.sum(axis=0)) + E.T @ E) / D
+    gram = jnp.matmul(E.T, E, precision=jax.lax.Precision.HIGHEST)
+    Sigma = (jnp.diag(nu.sum(axis=0)) + gram) / D
     return Sigma, spd_inverse(Sigma)
 
 
@@ -178,6 +184,13 @@ def run_cavi_from(carry, maxiter, tol, step_fn, verbose=False, max_new_iters=Non
         converged = (it + 1 > MIN_ITERS_BEFORE_CONVERGENCE) & (
             relative_change(ll_buf[it - 1], ll_i) < tol
         )
+        # A non-finite ll means the lane diverged and can never recover (nor
+        # converge: NaN compares false). Terminate it instead of computing
+        # NaNs to maxiter — under vmapped restarts a single dead lane would
+        # otherwise keep the whole batch running. (Divergence from the
+        # reference, which loops to maxiter on NaN; the lane's result is
+        # masked out of restart selection either way — parallel/restarts.py.)
+        converged = converged | ~jnp.all(jnp.isfinite(ll_i))
         return state, ll_buf, it + 1, converged
 
     return jax.lax.while_loop(cond, body, carry)

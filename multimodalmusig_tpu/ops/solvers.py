@@ -37,6 +37,21 @@ import jax
 import jax.numpy as jnp
 from jax.scipy.special import digamma, gammaln, polygamma
 
+# All matmuls against the precision matrix Σ⁻¹ run at HIGHEST precision: the
+# TPU MXU's default f32 matmul is a single bf16 pass (~3e-3 relative error,
+# measured on-device), and Σ⁻¹ is routinely ill-conditioned here (Σ diagonals
+# reach ~5e-3 on the BRCA workload, cond ≳ 1e4), so bf16 CG directions can be
+# garbage with huge norms — one unguarded Newton step then overflows exp(λ).
+# These are (B, 14) @ (14, 14) contractions: latency-bound, so the 6-pass
+# HIGHEST lowering costs nothing measurable.
+_PREC = jax.lax.Precision.HIGHEST
+
+# Trust region for the unconditional polish steps: near the optimum Newton
+# deltas are at float-resolution scale, so any |δ|∞ beyond this is a solver
+# misfire (e.g. CG on a near-singular system), not progress. Scaling the whole
+# vector (not per-coordinate clipping) keeps the step an ascent direction.
+_POLISH_MAX_STEP = 2.0
+
 __all__ = [
     "lambda_objective",
     "lambda_grad",
@@ -84,20 +99,24 @@ def lambda_objective(lam, nu, Ndivzeta, sumtheta, mu, invSigma):
     """-½(λ-μ)ᵀΣ⁻¹(λ-μ) + λ·sumθ - Σ Ndivζ·exp(λ+ν/2). Single document."""
     diff = lam - mu
     Eeta = jnp.exp(lam + 0.5 * nu)
-    quad = -0.5 * diff @ (invSigma @ diff)
+    quad = -0.5 * diff @ jnp.matmul(invSigma, diff, precision=_PREC)
     return quad + jnp.sum(lam * sumtheta) - jnp.sum(Ndivzeta * Eeta)
 
 
 def lambda_grad(lam, nu, Ndivzeta, sumtheta, mu, invSigma):
     """∇λ = -Σ⁻¹(λ-μ) + sumθ - Ndivζ·exp(λ+ν/2). Single document."""
     Eeta = jnp.exp(lam + 0.5 * nu)
-    return -(invSigma @ (lam - mu)) + sumtheta - Ndivzeta * Eeta
+    return (
+        -jnp.matmul(invSigma, lam - mu, precision=_PREC)
+        + sumtheta
+        - Ndivzeta * Eeta
+    )
 
 
 def _batched_lambda_objective(lam, nu, Ndivzeta, sumtheta, mu, invSigma):
     """λ-objective over arbitrary leading batch dims; last axis is MK."""
     diff = lam - mu
-    quad = -0.5 * jnp.sum(diff * (diff @ invSigma), axis=-1)
+    quad = -0.5 * jnp.sum(diff * jnp.matmul(diff, invSigma, precision=_PREC), axis=-1)
     Eeta = jnp.exp(lam + 0.5 * nu)
     return quad + jnp.sum(lam * sumtheta, axis=-1) - jnp.sum(Ndivzeta * Eeta, axis=-1)
 
@@ -111,7 +130,7 @@ def _cg_solve(w, g, invSigma, n_iter):
     """
 
     def mv(v):
-        return v @ invSigma + w * v
+        return jnp.matmul(v, invSigma, precision=_PREC) + w * v
 
     x = jnp.zeros_like(g)
     r = g
@@ -165,11 +184,11 @@ def maximize_lambda(
         Eeta = jnp.exp(lam + 0.5 * nu)
         w = Ndivzeta * Eeta
         diff = lam - mu
-        Sdiff = diff @ invSigma
+        Sdiff = jnp.matmul(diff, invSigma, precision=_PREC)
         g = -Sdiff + sumtheta - w
         delta = _cg_solve(w, g, invSigma, cg_iter)
 
-        Sdelta = delta @ invSigma
+        Sdelta = jnp.matmul(delta, invSigma, precision=_PREC)
         q0 = jnp.sum(diff * Sdiff, axis=-1)
         b = jnp.sum(delta * Sdiff, axis=-1)
         c2 = jnp.sum(delta * Sdelta, axis=-1)
@@ -211,8 +230,12 @@ def maximize_lambda(
 
     def polish(_, lam):
         w = Ndivzeta * jnp.exp(lam + 0.5 * nu)
-        g = -((lam - mu) @ invSigma) + sumtheta - w
-        step = lam + _cg_solve(w, g, invSigma, cg_iter)
+        g = -jnp.matmul(lam - mu, invSigma, precision=_PREC) + sumtheta - w
+        delta = _cg_solve(w, g, invSigma, cg_iter)
+        # trust region: scale (never re-direct) oversized deltas — see _POLISH_MAX_STEP
+        dmax = jnp.max(jnp.abs(delta), axis=-1, keepdims=True)
+        delta = delta * jnp.minimum(1.0, _POLISH_MAX_STEP / jnp.maximum(dmax, 1e-30))
+        step = lam + delta
         ok = jnp.all(jnp.isfinite(step), axis=-1, keepdims=True)
         return jnp.where(ok, step, lam)
 
