@@ -114,12 +114,13 @@ def run_benchmark(restarts, note=None):
     # R restarts in one compiled vmap on the default device. Warm up with the
     # *same* program (maxiter is a static arg, so a smaller warmup would
     # compile a different executable and the timed run would pay cold-start
-    # costs). chunk_iters keeps each device execution bounded (long single
-    # executions can crash the remote-attached TPU worker).
+    # costs). Unchunked: the whole fit is a single device execution (~2.6 s
+    # warm on the v5e chip) — the host-chunked driver exists for runs long
+    # enough to trip remote-worker watchdogs, and costs ~5x here in tunnel
+    # round-trips (measured: 13.5 s chunked vs 2.6 s unchunked).
     X = tuple(jnp.asarray(x, jnp.float32) for x in Xnp)
     key = jax.random.key(147959412)
-    CHUNK = 50
-    kwargs = dict(restarts=restarts, maxiter=MAXITER, tol=TOL, chunk_iters=CHUNK)
+    kwargs = dict(restarts=restarts, maxiter=MAXITER, tol=TOL, chunk_iters=None)
     np.asarray(fit_restarts(key, X, config, alpha, **kwargs).ll)
     t0 = time.perf_counter()
     result = fit_restarts(key, X, config, alpha, **kwargs)

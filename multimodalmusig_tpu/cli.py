@@ -65,9 +65,11 @@ def build_parser() -> argparse.ArgumentParser:
     )
     p.add_argument("--maxiter", type=int, default=1000, help="max CAVI iterations per fit")
     p.add_argument(
-        "--chunk-iters", type=int, default=50,
+        "--chunk-iters", type=int, default=0,
         help="CAVI iterations per device execution (host-chunked resumable "
-        "fitting; 0 disables chunking)",
+        "fitting for runs long enough to trip remote-worker watchdogs; "
+        "0 = unchunked, a single device execution per stage — much faster "
+        "on remote-attached accelerators)",
     )
     p.add_argument(
         "--platform", choices=("auto", "cpu", "default"), default="auto",

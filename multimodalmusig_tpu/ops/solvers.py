@@ -37,14 +37,23 @@ import jax
 import jax.numpy as jnp
 from jax.scipy.special import digamma, gammaln, polygamma
 
-# All matmuls against the precision matrix Σ⁻¹ run at HIGHEST precision: the
-# TPU MXU's default f32 matmul is a single bf16 pass (~3e-3 relative error,
+# All matvecs against the precision matrix Σ⁻¹ must run at full f32: the TPU
+# MXU's default f32 matmul is a single bf16 pass (~3e-3 relative error,
 # measured on-device), and Σ⁻¹ is routinely ill-conditioned here (Σ diagonals
 # reach ~5e-3 on the BRCA workload, cond ≳ 1e4), so bf16 CG directions can be
 # garbage with huge norms — one unguarded Newton step then overflows exp(λ).
-# These are (B, 14) @ (14, 14) contractions: latency-bound, so the 6-pass
-# HIGHEST lowering costs nothing measurable.
-_PREC = jax.lax.Precision.HIGHEST
+
+
+def _mv(v, S):
+    """out[..., j] = Σ_i v[..., i]·S[i, j] at full f32 precision.
+
+    Computed as a broadcast-multiply-reduce rather than a dot: with MK ≈ 14
+    the MXU would pad both contraction dims 14→128 (~1% utilization) and the
+    f32-exact HIGHEST lowering pays that 6×, while the VPU does the same
+    contraction natively in f32 with perfect utilization. XLA fuses the
+    broadcast and reduction, so nothing (B, MK, MK)-shaped is materialized.
+    """
+    return jnp.sum(v[..., :, None] * S, axis=-2)
 
 # Trust region for the unconditional polish steps: near the optimum Newton
 # deltas are at float-resolution scale, so any |δ|∞ beyond this is a solver
@@ -99,24 +108,20 @@ def lambda_objective(lam, nu, Ndivzeta, sumtheta, mu, invSigma):
     """-½(λ-μ)ᵀΣ⁻¹(λ-μ) + λ·sumθ - Σ Ndivζ·exp(λ+ν/2). Single document."""
     diff = lam - mu
     Eeta = jnp.exp(lam + 0.5 * nu)
-    quad = -0.5 * diff @ jnp.matmul(invSigma, diff, precision=_PREC)
+    quad = -0.5 * diff @ _mv(diff, invSigma)  # Σ⁻¹ symmetric
     return quad + jnp.sum(lam * sumtheta) - jnp.sum(Ndivzeta * Eeta)
 
 
 def lambda_grad(lam, nu, Ndivzeta, sumtheta, mu, invSigma):
     """∇λ = -Σ⁻¹(λ-μ) + sumθ - Ndivζ·exp(λ+ν/2). Single document."""
     Eeta = jnp.exp(lam + 0.5 * nu)
-    return (
-        -jnp.matmul(invSigma, lam - mu, precision=_PREC)
-        + sumtheta
-        - Ndivzeta * Eeta
-    )
+    return -_mv(lam - mu, invSigma) + sumtheta - Ndivzeta * Eeta  # Σ⁻¹ symmetric
 
 
 def _batched_lambda_objective(lam, nu, Ndivzeta, sumtheta, mu, invSigma):
     """λ-objective over arbitrary leading batch dims; last axis is MK."""
     diff = lam - mu
-    quad = -0.5 * jnp.sum(diff * jnp.matmul(diff, invSigma, precision=_PREC), axis=-1)
+    quad = -0.5 * jnp.sum(diff * _mv(diff, invSigma), axis=-1)
     Eeta = jnp.exp(lam + 0.5 * nu)
     return quad + jnp.sum(lam * sumtheta, axis=-1) - jnp.sum(Ndivzeta * Eeta, axis=-1)
 
@@ -130,7 +135,7 @@ def _cg_solve(w, g, invSigma, n_iter):
     """
 
     def mv(v):
-        return jnp.matmul(v, invSigma, precision=_PREC) + w * v
+        return _mv(v, invSigma) + w * v
 
     x = jnp.zeros_like(g)
     r = g
@@ -154,7 +159,7 @@ def _cg_solve(w, g, invSigma, n_iter):
 
 @partial(jax.jit, static_argnames=("n_iter", "cg_iter"))
 def maximize_lambda(
-    lam0, nu, Ndivzeta, sumtheta, mu, invSigma, n_iter: int = 20, cg_iter: int = None
+    lam0, nu, Ndivzeta, sumtheta, mu, invSigma, n_iter: int = 10, cg_iter: int = None
 ):
     """Batched λ solve: lam0/nu/Ndivzeta/sumtheta are (B, MK); μ, Σ⁻¹ shared.
 
@@ -163,6 +168,13 @@ def maximize_lambda(
     -(Σ⁻¹ + diag(w)) is negative definite, so the Newton direction (obtained
     by batched CG — see _cg_solve) is always an ascent direction, and the
     candidate-step argmax keeps every document's iterate monotone.
+
+    n_iter = 10 is measured, not guessed: over a 30-outer-iteration BRCA-EU
+    fit (float64, cold and warm starts probed), n_iter = 10 solutions differ
+    from n_iter = 20 by <= 4e-11 with identical residual gradients, while
+    n_iter = 6 drifts to ~2e-8 (tools/lambda_iters_experiment.py). Each
+    Newton iteration costs MK CG matvecs — the dominant VPU FLOPs of the
+    whole CAVI iteration at benchmark batch sizes — so the margin matters.
     """
     MK = lam0.shape[-1]
     if cg_iter is None:
@@ -184,11 +196,11 @@ def maximize_lambda(
         Eeta = jnp.exp(lam + 0.5 * nu)
         w = Ndivzeta * Eeta
         diff = lam - mu
-        Sdiff = jnp.matmul(diff, invSigma, precision=_PREC)
+        Sdiff = _mv(diff, invSigma)
         g = -Sdiff + sumtheta - w
         delta = _cg_solve(w, g, invSigma, cg_iter)
 
-        Sdelta = jnp.matmul(delta, invSigma, precision=_PREC)
+        Sdelta = _mv(delta, invSigma)
         q0 = jnp.sum(diff * Sdiff, axis=-1)
         b = jnp.sum(delta * Sdiff, axis=-1)
         c2 = jnp.sum(delta * Sdelta, axis=-1)
@@ -230,7 +242,7 @@ def maximize_lambda(
 
     def polish(_, lam):
         w = Ndivzeta * jnp.exp(lam + 0.5 * nu)
-        g = -jnp.matmul(lam - mu, invSigma, precision=_PREC) + sumtheta - w
+        g = -_mv(lam - mu, invSigma) + sumtheta - w
         delta = _cg_solve(w, g, invSigma, cg_iter)
         # trust region: scale (never re-direct) oversized deltas — see _POLISH_MAX_STEP
         dmax = jnp.max(jnp.abs(delta), axis=-1, keepdims=True)

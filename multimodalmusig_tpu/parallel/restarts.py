@@ -186,22 +186,33 @@ def _chunked_drive(carries, advance, maxiter, restarts):
     (padding by duplicating lane 0 — duplicates compute identical
     trajectories, so their results overwrite harmlessly). Total work drops
     from R x slowest to roughly the sum of per-lane iterations.
+
+    Everything stays ON DEVICE: the only host transfers are the tiny
+    (iteration, converged) vectors that drive compaction, and finished-lane
+    groups are device-gathered and re-assembled with one final concatenate +
+    permutation gather. (The first version of this loop pulled every
+    finished lane to the host between chunks; on a remote-attached
+    accelerator those transfers dominated — 13.5 s vs 2.6 s for the whole
+    100-restart benchmark fit.)
     """
     order = np.arange(restarts)
-    done_store = [None] * restarts
+    done_groups = []   # device pytrees, each a batch of finished lanes
+    done_orders = []   # their original restart indices
     while True:
         carries = advance(carries)
         it = np.asarray(carries[2])
         done = np.asarray(carries[3]) | (it >= maxiter)
         done_pos = np.nonzero(done)[0]
+        active_pos = np.nonzero(~done)[0]
+        # Gather finished lanes on device only when we'd shrink the batch
+        # (or are finished): gathers are cheap, but skipping no-op chunks
+        # avoids pointless dispatches.
         if len(done_pos) > 0:
             idx = jnp.asarray(done_pos)
-            finished = jax.tree_util.tree_map(lambda x: np.asarray(x[idx]), carries)
-            for j, pos in enumerate(done_pos):
-                done_store[order[pos]] = jax.tree_util.tree_map(
-                    lambda x: x[j], finished
-                )
-        active_pos = np.nonzero(~done)[0]
+            done_groups.append(
+                jax.tree_util.tree_map(lambda x: x[idx], carries)
+            )
+            done_orders.append(order[done_pos])
         if len(active_pos) == 0:
             break
         A = len(active_pos)
@@ -211,7 +222,33 @@ def _chunked_drive(carries, advance, maxiter, restarts):
         idx = jnp.asarray(pad)
         carries = jax.tree_util.tree_map(lambda x: x[idx], carries)
 
-    return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *done_store)
+    # Dedupe pad-duplicate lanes (keep the first finish of each restart),
+    # then one device concatenate + inverse-permutation gather.
+    seen = set()
+    keep_masks = []
+    flat_order = []
+    for grp_order in done_orders:
+        mask = []
+        for o in grp_order:
+            fresh = o not in seen
+            mask.append(fresh)
+            if fresh:
+                seen.add(o)
+                flat_order.append(o)
+        keep_masks.append(np.asarray(mask, bool))
+    inv = np.empty(restarts, np.int64)
+    inv[np.asarray(flat_order)] = np.arange(restarts)
+    inv = jnp.asarray(inv)
+
+    def reassemble(*xs):
+        parts = [
+            x[jnp.asarray(np.nonzero(m)[0])]
+            for x, m in zip(xs, keep_masks)
+            if m.any()
+        ]
+        return jnp.concatenate(parts, axis=0)[inv]
+
+    return jax.tree_util.tree_map(reassemble, *done_groups)
 
 
 @partial(jax.jit, static_argnames=("config", "maxiter", "tol", "init_method"))
@@ -311,11 +348,17 @@ def fit_mmctm_restarts(
     seed: int = 147959412,
     dtype=None,
     verbose: bool = False,
-    chunk_iters: Optional[int] = 50,
+    chunk_iters: Optional[int] = None,
 ) -> MMCTM:
     """High-level entry mirroring the CLI's `fit_model` (run_mmctm.jl:163-180):
     multi-restart two-stage MMCTM fitting, returning the selected model as a
-    fitted MMCTM wrapper (with `ll_history` attached)."""
+    fitted MMCTM wrapper (with `ll_history` attached).
+
+    Unchunked by default: on a remote-attached accelerator every chunk
+    boundary costs a host round-trip that dwarfs the device work (measured
+    9.6 s chunked vs 1.7 s unchunked for the 100-restart BRCA benchmark).
+    Set `chunk_iters` only for runs long enough to trip remote-worker
+    watchdogs (minutes per execution, e.g. PCAWG-scale maxiter fits)."""
     args = (list(k), list(alpha)) + (() if V is None else (list(V),)) + (X,)
     model = MMCTM(*args, dtype=dtype)
     best, stage1, stage2, best_idx = two_stage_fit(
