@@ -11,8 +11,10 @@ Layout (the part that matters on TPU): documents ride the 128-wide lane
 axis and the MK topic axis pads only to the 8-sublane granule, i.e. blocks
 are (MK_pad, TILE_B). A (B, 128-padded-MK) layout was tried first and wasted
 9x the VPU work on dead lanes (MK ~ 14). Matvecs with the shared Σ⁻¹ are
-(MK_pad, MK_pad) @ (MK_pad, TILE_B) MXU matmuls; reductions over topics are
-cross-sublane sums.
+MK_pad unrolled full-tile FMAs on the VPU (full f32; an MXU dot was tried
+first and lost — bf16 single-pass precision AND 16→128 padding waste);
+reductions over topics are cross-sublane sums. Newton systems are solved by
+Jacobi-PCG, mirroring ops.solvers._cg_solve.
 
 Line-search algebra (shared with ops.solvers.maximize_lambda): candidates
 λ + sδ need no extra matvecs (the quadratic form expands in s) and no extra
@@ -38,42 +40,55 @@ __all__ = ["maximize_lambda_fused", "maximize_lambda_fused_restarts", "PALLAS_MA
 
 PALLAS_MAX_MK = 128
 
-# Keep in sync with ops.solvers: scale ladder 8,4,2,1,...,2^-12 and polish 4
+# Keep in sync with ops.solvers: scale ladder 8,4,2,1,...,2^-12 and polish 2
 _N_OVER = 3
 _N_BACKTRACK = 13
-_N_POLISH = 4
+_N_POLISH = 2
 
 
 def _lambda_solve(lam, nu, ndz, st, mu_col, invS, *, n_iter: int, cg_iter: int):
     """Value-level fused Newton solve on (MKP, TB) blocks (see module docs)."""
+    MKP = lam.shape[0]
 
     def matS(v):
-        return jax.lax.dot_general(
-            invS, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
-        )
+        # out[j, :] = Σ_i invS[j, i]·v[i, :], unrolled as MKP full-tile FMAs
+        # on the VPU: full f32 (the MXU's default f32 matmul is a single
+        # bf16 pass — unacceptable against the ill-conditioned Σ⁻¹, see
+        # ops/solvers.py) and no 16→128 MXU padding waste.
+        out = invS[:, 0:1] * v[0:1, :]
+        for i in range(1, MKP):
+            out = out + invS[:, i : i + 1] * v[i : i + 1, :]
+        return out
 
     def rowsum(x):
         return jnp.sum(x, axis=0, keepdims=True)  # (1, TB)
 
+    diagS = jnp.diagonal(invS)[:, None]  # (MKP, 1)
+
     def cg(w, g):
-        # (Σ⁻¹ + diag(w)) δ = g; matvec = MXU matmul + elementwise
+        # Jacobi-PCG for (Σ⁻¹ + diag(w)) δ = g — same algorithm and rationale
+        # as ops.solvers._cg_solve (plain CG loses Krylov exactness to
+        # roundoff on these systems; PCG is machine-exact at MK iterations).
+        M = diagS + w
         x = jnp.zeros_like(g)
         r = g
-        p = r
-        rs = rowsum(r * r)
+        z = r / M
+        p = z
+        rz = rowsum(r * z)
 
         def body(_, carry):
-            x, r, p, rs = carry
+            x, r, z, p, rz = carry
             Ap = matS(p) + w * p
-            alpha = rs / (rowsum(p * Ap) + 1e-30)
+            alpha = rz / (rowsum(p * Ap) + 1e-30)
             x = x + alpha * p
             r = r - alpha * Ap
-            rs_new = rowsum(r * r)
-            beta = rs_new / (rs + 1e-30)
-            p = r + beta * p
-            return x, r, p, rs_new
+            z = r / M
+            rz_new = rowsum(r * z)
+            beta = rz_new / (rz + 1e-30)
+            p = z + beta * p
+            return x, r, z, p, rz_new
 
-        x, *_ = jax.lax.fori_loop(0, cg_iter, body, (x, r, p, rs))
+        x, *_ = jax.lax.fori_loop(0, cg_iter, body, (x, r, z, p, rz))
         return x
 
     def newton(_, lam):
@@ -121,7 +136,11 @@ def _lambda_solve(lam, nu, ndz, st, mu_col, invS, *, n_iter: int, cg_iter: int):
     def polish(_, lam):
         w = ndz * jnp.exp(lam + 0.5 * nu)
         g = -matS(lam - mu_col) + st - w
-        step = lam + cg(w, g)
+        delta = cg(w, g)
+        # trust region, matching ops.solvers (scale, never re-direct)
+        dmax = jnp.max(jnp.abs(delta), axis=0, keepdims=True)
+        delta = delta * jnp.minimum(1.0, 2.0 / jnp.maximum(dmax, 1e-30))
+        step = lam + delta
         ok = rowsum(jnp.where(jnp.isfinite(step), 0.0, 1.0)) == 0.0
         return jnp.where(ok, step, lam)
 
@@ -151,7 +170,7 @@ def _lambda_kernel_r(lam_ref, nu_ref, ndz_ref, st_ref, mu_ref, invS_ref,
 )
 def maximize_lambda_fused(
     lam0, nu, Ndivzeta, sumtheta, mu, invSigma,
-    n_iter: int = 20, cg_iter: int = None, tile_b: int = 2048,
+    n_iter: int = 7, cg_iter: int = None, tile_b: int = 2048,
     interpret: bool = False,
 ):
     """Drop-in fused equivalent of ops.solvers.maximize_lambda.
@@ -166,6 +185,10 @@ def maximize_lambda_fused(
         cg_iter = MK
     dt = jnp.float32
     MKP = max(8, ((MK + 7) // 8) * 8)
+    # Never let the tile exceed the (128-rounded) batch: under vmap this is
+    # called with B = D per restart lane (560 on BRCA), and a fixed 2048 tile
+    # would pad every lane 3.7x (measured 2.7x end-to-end slowdown).
+    tile_b = min(tile_b, ((B + 127) // 128) * 128)
     Bp = ((B + tile_b - 1) // tile_b) * tile_b
 
     def pad_t(x, fill=0.0):
@@ -211,7 +234,7 @@ def maximize_lambda_fused(
 )
 def maximize_lambda_fused_restarts(
     lam0, nu, Ndivzeta, sumtheta, mu, invSigma,
-    n_iter: int = 20, cg_iter: int = None, tile_b: int = 2048,
+    n_iter: int = 7, cg_iter: int = None, tile_b: int = 2048,
     interpret: bool = False,
 ):
     """Restart-batched fused λ solve: lam0/nu/Ndivzeta/sumtheta are

@@ -127,39 +127,50 @@ def _batched_lambda_objective(lam, nu, Ndivzeta, sumtheta, mu, invSigma):
 
 
 def _cg_solve(w, g, invSigma, n_iter):
-    """Batched CG for (Σ⁻¹ + diag(w)) δ = g over (B, MK) without ever
-    materializing the (B, MK, MK) Hessians: each matvec is one shared-matrix
-    matmul plus an elementwise product. On TPU this beats batched small-matrix
-    Cholesky by ~2 orders of magnitude (the XLA small-Cholesky lowering is
-    latency-bound); with n_iter = MK the solve is exact in exact arithmetic.
+    """Batched Jacobi-preconditioned CG for (Σ⁻¹ + diag(w)) δ = g over (B, MK)
+    without ever materializing the (B, MK, MK) Hessians: each matvec is one
+    shared-matrix contraction plus an elementwise product. On TPU this beats
+    batched small-matrix Cholesky by ~2 orders of magnitude (the XLA
+    small-Cholesky lowering is latency-bound).
+
+    The Jacobi preconditioner M = diag(Σ⁻¹) + w costs one elementwise divide
+    per iteration and is decisive in float arithmetic: measured on real
+    Newton systems harvested from a BRCA-EU fit (float64,
+    tools/pcg_experiment.py), plain CG at n_iter = MK stalls at 1e-1..1e-2
+    relative error once cond(Σ⁻¹) reaches ~1e3-1e4 (roundoff destroys Krylov
+    exactness), while PCG reaches 1e-15 at exactly MK iterations and is ~100x
+    more accurate at every earlier count.
     """
+    M = jnp.diagonal(invSigma) + w  # Jacobi preconditioner (always > 0)
 
     def mv(v):
         return _mv(v, invSigma) + w * v
 
     x = jnp.zeros_like(g)
     r = g
-    p = r
-    rs = jnp.sum(r * r, axis=-1)
+    z = r / M
+    p = z
+    rz = jnp.sum(r * z, axis=-1)
 
     def body(_, carry):
-        x, r, p, rs = carry
+        x, r, z, p, rz = carry
         Ap = mv(p)
-        alpha = rs / (jnp.sum(p * Ap, axis=-1) + 1e-30)
+        alpha = rz / (jnp.sum(p * Ap, axis=-1) + 1e-30)
         x = x + alpha[..., None] * p
         r = r - alpha[..., None] * Ap
-        rs_new = jnp.sum(r * r, axis=-1)
-        beta = rs_new / (rs + 1e-30)
-        p = r + beta[..., None] * p
-        return x, r, p, rs_new
+        z = r / M
+        rz_new = jnp.sum(r * z, axis=-1)
+        beta = rz_new / (rz + 1e-30)
+        p = z + beta[..., None] * p
+        return x, r, z, p, rz_new
 
-    x, *_ = jax.lax.fori_loop(0, n_iter, body, (x, r, p, rs))
+    x, *_ = jax.lax.fori_loop(0, n_iter, body, (x, r, z, p, rz))
     return x
 
 
 @partial(jax.jit, static_argnames=("n_iter", "cg_iter"))
 def maximize_lambda(
-    lam0, nu, Ndivzeta, sumtheta, mu, invSigma, n_iter: int = 10, cg_iter: int = None
+    lam0, nu, Ndivzeta, sumtheta, mu, invSigma, n_iter: int = 7, cg_iter: int = None
 ):
     """Batched λ solve: lam0/nu/Ndivzeta/sumtheta are (B, MK); μ, Σ⁻¹ shared.
 
@@ -169,12 +180,15 @@ def maximize_lambda(
     by batched CG — see _cg_solve) is always an ascent direction, and the
     candidate-step argmax keeps every document's iterate monotone.
 
-    n_iter = 10 is measured, not guessed: over a 30-outer-iteration BRCA-EU
-    fit (float64, cold and warm starts probed), n_iter = 10 solutions differ
-    from n_iter = 20 by <= 4e-11 with identical residual gradients, while
-    n_iter = 6 drifts to ~2e-8 (tools/lambda_iters_experiment.py). Each
-    Newton iteration costs MK CG matvecs — the dominant VPU FLOPs of the
-    whole CAVI iteration at benchmark batch sizes — so the margin matters.
+    n_iter = 7 is measured, not guessed: with Jacobi-PCG inner solves
+    (machine-exact at cg_iter = MK — see _cg_solve) every probed solve of a
+    30-outer-iteration BRCA-EU fit (float64, cold and warm starts,
+    tools/lambda_iters_experiment.py) agrees with n_iter = 20 to <= 2e-14
+    already at n_iter = 6; the 8/4/2 over-step ladder covers the cold start,
+    and the 7th iteration buys the far-field margin the extreme-start test
+    (λ0 = 30) needs. Each Newton iteration
+    costs MK CG matvecs — the dominant VPU FLOPs of the whole CAVI iteration
+    at benchmark batch sizes — so the budget matters.
     """
     MK = lam0.shape[-1]
     if cg_iter is None:
@@ -252,7 +266,10 @@ def maximize_lambda(
         return jnp.where(ok, step, lam)
 
     lam = jax.lax.fori_loop(0, n_iter, body, lam0)
-    return jax.lax.fori_loop(0, _N_POLISH, polish, lam)
+    # 2 polish rounds suffice here: PCG directions are machine-exact, so the
+    # unconditional Newton tail converges quadratically from the line-searched
+    # basin (measured |g| ~ 1e-12 f64 — tools/lambda_iters_experiment.py).
+    return jax.lax.fori_loop(0, 2, polish, lam)
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,77 @@
+"""A/B the full 100-restart benchmark fit with/without the fused λ kernel.
+
+Checks that the Pallas path (a) compiles under the vmapped-restart program
+(per-lane μ/Σ⁻¹ — exercises pallas_call's batching rule), (b) agrees with
+the XLA path, and (c) is faster end-to-end.
+"""
+
+import os
+import sys
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def run(use_pallas, restarts):
+    os.environ["MUSIG_PALLAS"] = "1" if use_pallas else "0"
+    import jax
+    import jax.numpy as jnp
+
+    from bench import load_counts_np
+    from multimodalmusig_tpu.models.mmctm import MMCTMConfig
+    from multimodalmusig_tpu.parallel.restarts import fit_restarts
+
+    Xnp = load_counts_np()
+    config = MMCTMConfig(
+        K=(7, 7), V=(Xnp[0].shape[1], Xnp[1].shape[1]), D=Xnp[0].shape[0],
+        dtype=jnp.float32,
+    )
+    X = tuple(jnp.asarray(x, jnp.float32) for x in Xnp)
+    alpha = jnp.asarray([0.1, 0.1], jnp.float32)
+    key = jax.random.key(147959412)
+    kwargs = dict(restarts=restarts, maxiter=1000, tol=1e-5, chunk_iters=None)
+    res = fit_restarts(key, X, config, alpha, **kwargs)  # warm/compile
+    ll = np.asarray(res.ll)
+    t0 = time.perf_counter()
+    res = fit_restarts(key, X, config, alpha, **kwargs)
+    ll = np.asarray(res.ll)
+    t = time.perf_counter() - t0
+    return t, ll, np.asarray(res.n_iters)
+
+
+def main():
+    # Each arm runs in its own subprocess: jax.jit caches compiled executables
+    # by trace, and the MUSIG_PALLAS gate is evaluated at trace time — a
+    # same-process A/B silently reuses the first arm's executable.
+    if len(sys.argv) > 2 and sys.argv[2] in ("arm0", "arm1"):
+        t, ll, it = run(sys.argv[2] == "arm1", int(sys.argv[1]))
+        np.savez(f"/tmp/pallas_ab_{sys.argv[2]}.npz", t=t, ll=ll, it=it)
+        return
+
+    import subprocess
+
+    restarts = int(sys.argv[1]) if len(sys.argv) > 1 else 100
+    for arm in ("arm0", "arm1"):
+        subprocess.run(
+            [sys.executable, os.path.abspath(__file__), str(restarts), arm],
+            check=True,
+        )
+    a0 = np.load("/tmp/pallas_ab_arm0.npz")
+    a1 = np.load("/tmp/pallas_ab_arm1.npz")
+    t0, ll0, it0 = float(a0["t"]), a0["ll"], a0["it"]
+    t1, ll1, it1 = float(a1["t"]), a1["ll"], a1["it"]
+    print(f"xla   : {t0:.2f}s  ({restarts / t0:.1f} restarts/s)")
+    print(f"pallas: {t1:.2f}s  ({restarts / t1:.1f} restarts/s)  speedup {t0 / t1:.2f}x")
+    print(f"iters equal: {np.array_equal(it0, it1)}  "
+          f"(med {np.median(it0):.0f} vs {np.median(it1):.0f})")
+    finite = np.isfinite(ll0) & np.isfinite(ll1)
+    print(f"max |ll diff| (finite lanes): {np.abs(ll0 - ll1)[finite].max():.3e}; "
+          f"finite {finite.all(axis=1).sum()}/{restarts} vs "
+          f"{np.isfinite(ll1).all(axis=1).sum()}/{restarts}")
+
+
+if __name__ == "__main__":
+    main()
