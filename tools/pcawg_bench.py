@@ -45,7 +45,8 @@ def main():
     ap.add_argument("--restarts", type=int, default=100)
     ap.add_argument("--maxiter", type=int, default=1000)
     ap.add_argument("--tol", type=float, default=1e-5)
-    ap.add_argument("--chunk-iters", type=int, default=25)
+    ap.add_argument("--chunk-iters", type=int, default=0,
+                    help="0 = unchunked single-execution fit (fastest on the tunnel)")
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--no-record", action="store_true")
     args = ap.parse_args()
@@ -73,7 +74,7 @@ def main():
 
     kwargs = dict(
         restarts=args.restarts, maxiter=args.maxiter, tol=args.tol,
-        chunk_iters=args.chunk_iters,
+        chunk_iters=args.chunk_iters or None,
     )
     platform = jax.devices()[0].platform
     print(f"platform={platform} D={args.docs} R={args.restarts} K={K} V={V}",
