@@ -118,7 +118,11 @@ def _use_fused_lambda() -> bool:
     if flag in ("0", "1"):
         return flag == "1"
     try:
-        return jax.default_backend() == "tpu"
+        # Single-device TPU only: GSPMD cannot partition a pallas_call, so a
+        # multi-chip sharded fit must take the XLA path (which partitions
+        # cleanly). Force MUSIG_PALLAS=1 to override (e.g. with shard_map
+        # wrappers that keep per-device shapes).
+        return jax.default_backend() == "tpu" and jax.device_count() == 1
     except Exception:
         return False
 
