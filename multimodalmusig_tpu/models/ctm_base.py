@@ -167,9 +167,25 @@ def props_from_lam(lam: jnp.ndarray, config) -> Tuple[jnp.ndarray, ...]:
 
 
 def make_cavi_carry(state, config, maxiter):
-    """Fresh CAVI loop carry: (state, ll ring buffer, iteration, converged)."""
+    """Fresh CAVI loop carry: (state, ll ring buffer, iteration, done).
+
+    The 4th element is a *termination* flag ("stop iterating"): true either
+    on genuine convergence or when the lane's ll went non-finite (a dead
+    lane can never recover and must not run to maxiter). Reported
+    convergence is derived via `carry_converged`, which excludes dead lanes.
+    """
     ll_buf = jnp.zeros((maxiter, config.M), config.dtype)
     return (state, ll_buf, jnp.int32(0), jnp.array(False))
+
+
+def carry_converged(ll_buf, n_iters, done):
+    """True convergence for reporting: terminated AND the final ll is finite.
+
+    The loop's `done` flag deliberately includes NaN-dead lanes (see
+    make_cavi_carry) so they stop early; a diverged fit must still report
+    converged=False through the public API — silently reporting success on a
+    garbage fit is the same wrong-number trap as the old placeholder ELBO."""
+    return done & jnp.all(jnp.isfinite(ll_buf[n_iters - 1]))
 
 
 def run_cavi_from(carry, maxiter, tol, step_fn, verbose=False, max_new_iters=None,

@@ -36,6 +36,7 @@ from ..ops.solvers import maximize_alpha
 from ..ops.special import dirichlet_expectation, logmvbeta, logmvbeta_symmetric, safe_xlogy, xlogx
 from ..utils.formatting import sparse_to_dense
 from .ctm_base import (
+    carry_converged,
     CTMBaseConfig,
     calculate_Ndivzeta,
     calculate_sumtheta,
@@ -430,7 +431,7 @@ def fit(
         state=state,
         ll_history=ll_buf,
         n_iters=n_iters,
-        converged=converged,
+        converged=carry_converged(ll_buf, n_iters, converged),
         elbo=calculate_elbo(state, X, N, F, config),
         ll=ll_buf[n_iters - 1],
     )
@@ -468,7 +469,7 @@ def fit_heldout_states(
         state=state,
         ll_history=ll_buf,
         n_iters=n_iters,
-        converged=converged,
+        converged=carry_converged(ll_buf, n_iters, converged),
         elbo=calculate_elbo(state, Xheldout, N, F, config),
         ll=ll_buf[n_iters - 1],
     )
@@ -511,7 +512,7 @@ def transform_states(
         state=state,
         ll_history=ll_buf,
         n_iters=n_iters,
-        converged=converged,
+        converged=carry_converged(ll_buf, n_iters, converged),
         # real ELBO of {trained topics, new-document posteriors} — the
         # round-1 placeholder elbo=0.0 was a silent wrong-number trap
         elbo=calculate_elbo(state, Xnew, N, F, config),
@@ -553,9 +554,10 @@ def predict_modality_eta_states(
         ll_i = modality_loglikelihoods(Xobs, s.lam, s.gamma, Fobs, obs_config)
         return s, ll_i
 
-    obs_state, ll_buf, n_iters, converged = _run_cavi(
+    obs_state, ll_buf, n_iters, done = _run_cavi(
         obs_state, obs_config, maxiter, tol, step, verbose
     )
+    converged = carry_converged(ll_buf, n_iters, done)
     eta = (
         trained.mu[unobs][None, :]
         + (obs_state.lam - trained.mu[obs][None, :])

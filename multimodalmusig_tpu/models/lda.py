@@ -30,6 +30,7 @@ import numpy as np
 
 from ..ops.convergence import MIN_ITERS_BEFORE_CONVERGENCE, relative_change
 from ..ops.special import dirichlet_expectation, gammaln, safe_xlogy, xlogx
+from .ctm_base import carry_converged
 from ..utils.formatting import infer_vocab_size, sparse_to_dense
 
 __all__ = ["LDAConfig", "LDAState", "LDAFitResult", "LDA", "transform", "fit_heldout"]
@@ -247,7 +248,7 @@ def fit(
         state=state,
         ll_history=ll_buf,
         n_iters=n_iters,
-        converged=converged,
+        converged=carry_converged(ll_buf, n_iters, converged),
         elbo=calculate_elbo(state, X, config),
         ll=ll_buf[n_iters - 1],
     )
@@ -286,7 +287,7 @@ def transform_states(
         state=state,
         ll_history=ll_buf,
         n_iters=n_iters,
-        converged=converged,
+        converged=carry_converged(ll_buf, n_iters, converged),
         elbo=calculate_elbo(state, Xnew, config),
         ll=ll_buf[n_iters - 1],
     )
@@ -318,7 +319,7 @@ def fit_heldout_states(
         state=state,
         ll_history=ll_buf,
         n_iters=n_iters,
-        converged=converged,
+        converged=carry_converged(ll_buf, n_iters, converged),
         elbo=calculate_elbo(state, Xheldout, config),
         ll=ll_buf[n_iters - 1],
     )

@@ -56,6 +56,7 @@ from ..ops.special import (
 from ..utils.formatting import infer_vocab_size, sparse_to_dense
 from .ctm_base import (
     CTMBaseConfig,
+    carry_converged,
     calculate_Ndivzeta as _base_Ndivzeta,
     calculate_sumtheta as _base_sumtheta,
     counts_per_doc,
@@ -479,12 +480,12 @@ def fit_step_fn(
 def finalize_fit(carry, X, N, config: MMCTMConfig) -> MMCTMFitResult:
     """Turn a finished CAVI carry into an MMCTMFitResult (final ELBO as at
     src/MMCTM.jl:490)."""
-    state, ll_buf, n_iters, converged = carry
+    state, ll_buf, n_iters, done = carry
     return MMCTMFitResult(
         state=state,
         ll_history=ll_buf,
         n_iters=n_iters,
-        converged=converged,
+        converged=carry_converged(ll_buf, n_iters, done),
         elbo=calculate_elbo(state, X, N, config),
         ll=ll_buf[n_iters - 1],
     )
@@ -546,12 +547,12 @@ def transform_states(
         ll_i = modality_loglikelihoods(Xnew, props_from(s.lam, config), phi)
         return s, ll_i
 
-    state, ll_buf, n_iters, converged = _run_cavi(state, config, maxiter, tol, step, verbose)
+    state, ll_buf, n_iters, done = _run_cavi(state, config, maxiter, tol, step, verbose)
     return MMCTMFitResult(
         state=state,
         ll_history=ll_buf,
         n_iters=n_iters,
-        converged=converged,
+        converged=carry_converged(ll_buf, n_iters, done),
         elbo=calculate_elbo(state, Xnew, N, config),
         ll=ll_buf[n_iters - 1],
     )
@@ -585,12 +586,12 @@ def fit_heldout_states(
         ll_i = modality_loglikelihoods(Xheldout, props_from(s.lam, config), phi)
         return s, ll_i
 
-    state, ll_buf, n_iters, converged = _run_cavi(state, config, maxiter, tol, step, verbose)
+    state, ll_buf, n_iters, done = _run_cavi(state, config, maxiter, tol, step, verbose)
     return MMCTMFitResult(
         state=state,
         ll_history=ll_buf,
         n_iters=n_iters,
-        converged=converged,
+        converged=carry_converged(ll_buf, n_iters, done),
         elbo=calculate_elbo(state, Xheldout, N, config),
         ll=ll_buf[n_iters - 1],
     )
@@ -636,9 +637,10 @@ def predict_modality_eta_states(
         ll_i = modality_loglikelihoods(Xobs, props_from(s.lam, obs_config), phi)
         return s, ll_i
 
-    obs_state, ll_buf, n_iters, converged = _run_cavi(
+    obs_state, ll_buf, n_iters, done = _run_cavi(
         obs_state, obs_config, maxiter, tol, step, verbose
     )
+    converged = carry_converged(ll_buf, n_iters, done)
     eta = (
         trained.mu[unobs][None, :]
         + (obs_state.lam - trained.mu[obs][None, :])

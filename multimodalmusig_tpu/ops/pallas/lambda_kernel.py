@@ -36,14 +36,15 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from ..solvers import _N_BACKTRACK, _POLISH_MAX_STEP, LAMBDA_POLISH_ITERS
+
 __all__ = ["maximize_lambda_fused", "maximize_lambda_fused_restarts", "PALLAS_MAX_MK"]
 
 PALLAS_MAX_MK = 128
 
-# Keep in sync with ops.solvers: scale ladder 8,4,2,1,...,2^-12 and polish 2
-_N_OVER = 3
-_N_BACKTRACK = 13
-_N_POLISH = 2
+# Tuning constants (scale ladder, polish count, trust region) are imported
+# from ops.solvers so the fused kernel and the XLA path cannot drift.
+_N_POLISH = LAMBDA_POLISH_ITERS
 
 
 def _lambda_solve(lam, nu, ndz, st, mu_col, invS, *, n_iter: int, cg_iter: int):
@@ -139,7 +140,7 @@ def _lambda_solve(lam, nu, ndz, st, mu_col, invS, *, n_iter: int, cg_iter: int):
         delta = cg(w, g)
         # trust region, matching ops.solvers (scale, never re-direct)
         dmax = jnp.max(jnp.abs(delta), axis=0, keepdims=True)
-        delta = delta * jnp.minimum(1.0, 2.0 / jnp.maximum(dmax, 1e-30))
+        delta = delta * jnp.minimum(1.0, _POLISH_MAX_STEP / jnp.maximum(dmax, 1e-30))
         step = lam + delta
         ok = rowsum(jnp.where(jnp.isfinite(step), 0.0, 1.0)) == 0.0
         return jnp.where(ok, step, lam)

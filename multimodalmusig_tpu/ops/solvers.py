@@ -61,6 +61,13 @@ def _mv(v, S):
 # vector (not per-coordinate clipping) keeps the step an ascent direction.
 _POLISH_MAX_STEP = 2.0
 
+# Polish rounds appended to the λ solve. 2 suffice: PCG directions are
+# machine-exact, so the unconditional Newton tail converges quadratically
+# from the line-searched basin (measured |g| ~ 1e-12 f64 —
+# tools/lambda_iters_experiment.py). The Pallas kernel imports this (and
+# _N_BACKTRACK/_POLISH_MAX_STEP) so the two implementations cannot drift.
+LAMBDA_POLISH_ITERS = 2
+
 __all__ = [
     "lambda_objective",
     "lambda_grad",
@@ -266,10 +273,7 @@ def maximize_lambda(
         return jnp.where(ok, step, lam)
 
     lam = jax.lax.fori_loop(0, n_iter, body, lam0)
-    # 2 polish rounds suffice here: PCG directions are machine-exact, so the
-    # unconditional Newton tail converges quadratically from the line-searched
-    # basin (measured |g| ~ 1e-12 f64 — tools/lambda_iters_experiment.py).
-    return jax.lax.fori_loop(0, 2, polish, lam)
+    return jax.lax.fori_loop(0, LAMBDA_POLISH_ITERS, polish, lam)
 
 
 # ---------------------------------------------------------------------------

@@ -38,7 +38,12 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..models import mmctm as mmctm_mod
-from ..models.ctm_base import counts_per_doc, make_cavi_carry, run_cavi_from
+from ..models.ctm_base import (
+    carry_converged,
+    counts_per_doc,
+    make_cavi_carry,
+    run_cavi_from,
+)
 from ..models.mmctm import MMCTM, MMCTMConfig, MMCTMFitResult, init_with_alpha
 
 __all__ = [
@@ -455,12 +460,15 @@ def fit_lda_restarts(
             lambda key: lda_mod.init(key, cfg),
             lambda s: lda_mod._fit_step(s, Xd, cfg),
             lambda c: lda_mod.LDAFitResult(
-                state=c[0], ll_history=c[1], n_iters=c[2], converged=c[3],
+                state=c[0], ll_history=c[1], n_iters=c[2],
+                converged=carry_converged(c[1], c[2], c[3]),
                 elbo=lda_mod.calculate_elbo(c[0], Xd, cfg), ll=c[1][c[2] - 1],
             ),
             keys, maxiter, tol, chunk_iters, restarts, cfg.dtype,
         )
-    best = int(jnp.argmax(result.ll))
+    # mask diverged (non-finite-ll) lanes out of selection, matching the
+    # MMCTM pick functions above
+    best = int(jnp.argmax(jnp.where(jnp.isfinite(result.ll), result.ll, -jnp.inf)))
     sel = lane(result, best)
     model.state = sel.state
     model.converged = bool(sel.converged)
@@ -510,12 +518,15 @@ def fit_ilda_restarts(
             lambda key: ilda_mod.init(key, cfg),
             step,
             lambda c: ilda_mod.ILDAFitResult(
-                state=c[0], ll_history=c[1], n_iters=c[2], converged=c[3],
+                state=c[0], ll_history=c[1], n_iters=c[2],
+                converged=carry_converged(c[1], c[2], c[3]),
                 elbo=ilda_mod.calculate_elbo(c[0], Xd, F, cfg), ll=c[1][c[2] - 1],
             ),
             keys, maxiter, tol, chunk_iters, restarts, cfg.dtype,
         )
-    best = int(jnp.argmax(result.ll))
+    # mask diverged (non-finite-ll) lanes out of selection, matching the
+    # MMCTM pick functions above
+    best = int(jnp.argmax(jnp.where(jnp.isfinite(result.ll), result.ll, -jnp.inf)))
     sel = lane(result, best)
     model.state = sel.state
     model.converged = bool(sel.converged)
@@ -578,7 +589,7 @@ def fit_immctm_restarts(
                     state=c[0],
                     ll_history=c[1],
                     n_iters=c[2],
-                    converged=c[3],
+                    converged=carry_converged(c[1], c[2], c[3]),
                     elbo=immctm_mod.calculate_elbo(c[0], Xd, N, F, cfg),
                     ll=c[1][c[2] - 1],
                 )

@@ -31,6 +31,16 @@ import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
 
+# Bundled BRCA-EU reference data (only present when the upstream checkout is
+# available, e.g. the build machine). Tests that fit real data skip cleanly
+# elsewhere (e.g. CI runners) — the math oracles below never need it.
+BRCA_DATA_DIR = "/root/reference/data"
+requires_brca_data = pytest.mark.skipif(
+    not os.path.isfile(os.path.join(BRCA_DATA_DIR, "brca-eu_snv_counts.tsv")),
+    reason="BRCA-EU reference data not present on this machine",
+)
+
+
 @pytest.fixture
 def rng():
     return np.random.default_rng(12345)

@@ -9,6 +9,10 @@ import numpy as np
 import pandas as pd
 
 
+from conftest import requires_brca_data
+
+
+@requires_brca_data
 def test_cli_subprocess_end_to_end(tmp_path):
     snv = pd.read_csv("/root/reference/data/brca-eu_snv_counts.tsv", sep="\t")
     sv = pd.read_csv("/root/reference/data/brca-eu_sv_counts.tsv", sep="\t")

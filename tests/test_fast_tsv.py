@@ -6,6 +6,8 @@ import pytest
 
 from multimodalmusig_tpu.utils import fast_tsv
 
+from conftest import requires_brca_data
+
 SNV = "/root/reference/data/brca-eu_snv_counts.tsv"
 
 
@@ -13,6 +15,7 @@ def test_native_builds():
     assert fast_tsv.native_available(), "g++ toolchain expected in this image"
 
 
+@requires_brca_data
 def test_matches_pandas_on_bundled_data():
     counts, terms, samples = fast_tsv.read_counts_tsv(SNV)
     df = pd.read_csv(SNV, sep="\t")
@@ -21,6 +24,7 @@ def test_matches_pandas_on_bundled_data():
     np.testing.assert_array_equal(counts, df.iloc[:, 1:].to_numpy(dtype=np.float64))
 
 
+@requires_brca_data
 def test_python_fallback_matches_native():
     cn, tn, sn = fast_tsv.read_counts_tsv(SNV, prefer_native=True)
     cp, tp, sp = fast_tsv.read_counts_tsv(SNV, prefer_native=False)

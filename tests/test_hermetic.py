@@ -20,8 +20,8 @@ def test_scrubbed_env_drops_proxy_activation():
     assert "PALLAS_AXON_TPU_GEN" not in env
     assert "axon_site" not in env["PYTHONPATH"]
     assert "/somewhere/else" in env["PYTHONPATH"]
-    # repo root stays importable
-    assert env["PYTHONPATH"].split(os.pathsep)[0].endswith("repo")
+    # repo root (wherever this checkout lives) stays importable, first
+    assert env["PYTHONPATH"].split(os.pathsep)[0] == hermetic._REPO_ROOT
     assert env["JAX_PLATFORMS"] == "cpu"
     assert "--xla_force_host_platform_device_count=4" in env["XLA_FLAGS"]
     assert "--xla_foo=1" in env["XLA_FLAGS"]

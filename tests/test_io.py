@@ -4,6 +4,8 @@ run_mmctm.jl:272-274 and the TSV writers at run_mmctm.jl:184-240)."""
 import numpy as np
 import pytest
 
+from conftest import requires_brca_data
+
 from multimodalmusig_tpu.models.ilda import ILDA
 from multimodalmusig_tpu.models.immctm import IMMCTM
 from multimodalmusig_tpu.models.lda import LDA
@@ -111,6 +113,7 @@ class TestWriters:
 
 
 class TestCLI:
+    @requires_brca_data
     def test_end_to_end(self, tmp_path):
         """Run the CLI exactly as a reference user would, on a subset of the
         bundled BRCA-EU data."""

@@ -62,6 +62,31 @@ def test_finite_lane_unaffected():
     assert 10 < int(n_iters) < 50
 
 
+def test_dead_lane_reports_not_converged_publicly():
+    # The loop's carry flag is a *termination* marker (True for dead lanes so
+    # they stop early); public results must still say converged=False.
+    from multimodalmusig_tpu.models.ctm_base import carry_converged
+
+    ll_buf = jnp.zeros((10, 2)).at[4].set(jnp.nan)
+    done = jnp.array(True)
+    assert not bool(carry_converged(ll_buf, jnp.int32(5), done))   # NaN final ll
+    ll_buf = jnp.zeros((10, 2)).at[4].set(-3.0)
+    assert bool(carry_converged(ll_buf, jnp.int32(5), done))       # finite final ll
+    assert not bool(carry_converged(ll_buf, jnp.int32(5), jnp.array(False)))
+
+
+def test_lda_restart_selection_masks_nan_lanes(lda_fixture):
+    # A diverged lane's ll is NaN; argmax over raw values would pick it
+    # (NaN compares as max). fit_lda_restarts masks non-finite lanes.
+    from multimodalmusig_tpu.parallel.restarts import fit_lda_restarts
+
+    model = fit_lda_restarts(
+        lda_fixture["K"], lda_fixture["alpha"], lda_fixture["eta"],
+        lda_fixture["X"], restarts=4, maxiter=20,
+    )
+    assert np.isfinite(model.ll)
+
+
 def test_vmapped_dead_lane_does_not_stall_batch():
     # Under vmap the while_loop runs until every lane is done; a dead lane
     # must not keep the batch alive to maxiter.

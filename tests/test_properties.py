@@ -7,6 +7,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+from conftest import requires_brca_data
+
 from multimodalmusig_tpu.models import lda as lda_mod
 from multimodalmusig_tpu.models import mmctm as mmctm_mod
 from multimodalmusig_tpu.models.lda import LDA
@@ -118,6 +120,7 @@ class TestThreeModalities:
 
 
 class TestBRCAEndToEnd:
+    @requires_brca_data
     def test_lda_converges_on_real_snv_subset(self):
         import pandas as pd
 
@@ -132,6 +135,7 @@ class TestBRCAEndToEnd:
         assert ll[-1] > ll[0]
         assert model.elbo < 0 and np.isfinite(model.elbo)
 
+    @requires_brca_data
     def test_mmctm_converges_on_real_subset(self):
         import pandas as pd
 
