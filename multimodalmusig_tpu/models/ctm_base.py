@@ -25,6 +25,7 @@ __all__ = [
     "update_zeta",
     "solve_nu",
     "solve_lambda",
+    "solve_eta",
     "update_mu_vec",
     "update_Sigma_mats",
     "spd_inverse",
@@ -134,6 +135,36 @@ def solve_lambda(lam, nu, Ndivzeta, sumtheta, mu, invSigma):
 
         return maximize_lambda_fused(lam, nu, Ndivzeta, sumtheta, mu, invSigma)
     return maximize_lambda(lam, nu, Ndivzeta, sumtheta, mu, invSigma)
+
+
+def solve_eta(lam, nu, N, sumtheta, mu, invSigma, config):
+    """The η-side of one batched `fitdoc!` (src/MMCTM.jl:450-455, minus θ):
+    ζ (closed form) → N/ζ → ν solve → λ solve, for all documents at once.
+    Returns (ζ, ν', λ').
+
+    Kernel policy, decided by measurement (tools/pallas_fit_ab.py, 100
+    vmapped BRCA restarts on the v5e chip): the λ solve alone fused
+    (solve_lambda's gate) gives 91 restarts/s vs 77 for pure XLA; fusing
+    ζ/ν in as well (`MUSIG_PALLAS_ESTEP=1` → estep_eta_fused) measures the
+    same 1.09 s wall-clock but costs ~2x the Mosaic compile time (~10 min
+    cold vs ~4), so the default stays λ-only. The fused and XLA paths agree
+    to f32 rounding (mirrored op-for-op; tests/test_pallas_kernels.py).
+    """
+    import os
+
+    if (
+        os.environ.get("MUSIG_PALLAS_ESTEP", "0") == "1"
+        and _use_fused_lambda()
+        and config.MK <= 128
+    ):
+        from ..ops.pallas.lambda_kernel import estep_eta_fused
+
+        return estep_eta_fused(lam, nu, N, sumtheta, mu, invSigma, config.K)
+    zeta = update_zeta(lam, nu, config)
+    Ndivzeta = calculate_Ndivzeta(N, zeta, config)
+    nu2 = maximize_nu(nu, lam, Ndivzeta, jnp.diagonal(invSigma)[None, :])
+    lam2 = solve_lambda(lam, nu2, Ndivzeta, sumtheta, mu, invSigma)
+    return zeta, nu2, lam2
 
 
 def update_mu_vec(lam: jnp.ndarray) -> jnp.ndarray:

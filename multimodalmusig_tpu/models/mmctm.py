@@ -63,6 +63,7 @@ from .ctm_base import (
     elbo_eta_z_terms,
     props_from_lam,
     run_cavi as _run_cavi_base,
+    solve_eta,
     solve_lambda,
     solve_nu,
     spd_inverse as _spd_inverse,
@@ -255,16 +256,16 @@ def e_step(
     ν solve uses the pre-update λ. Returns (state, θ) — θ is a per-iteration
     local, never carried (see MMCTMState docstring).
     """
-    zeta = update_zeta(state, config)
     logw = logw_fn(state)
     theta = theta_from(state.lam, logw, config)
-    state = state._replace(zeta=zeta, lam_pre=state.lam, logw_pre=logw)
-
-    Ndivzeta = calculate_Ndivzeta(N, zeta, config)
-    nu = solve_nu(state.nu, state.lam, Ndivzeta, state.invSigma)
     sumtheta = calculate_sumtheta(theta, X, config)
-    lam = solve_lambda(state.lam, nu, Ndivzeta, sumtheta, state.mu, state.invSigma)
-    return state._replace(nu=nu, lam=lam), theta
+    zeta, nu, lam = solve_eta(
+        state.lam, state.nu, N, sumtheta, state.mu, state.invSigma, config
+    )
+    return (
+        state._replace(zeta=zeta, lam_pre=state.lam, logw_pre=logw, nu=nu, lam=lam),
+        theta,
+    )
 
 
 # ---------------------------------------------------------------------------

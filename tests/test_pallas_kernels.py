@@ -116,3 +116,65 @@ def test_restart_batched_fused_matches_per_lane(problem, rng):
             maximize_lambda(lam0[r], nu[r], ndz[r], st[r], mu[r], invS[r])
         )
         np.testing.assert_allclose(fused[r], ref, atol=5e-5)
+
+
+class TestFusedEstep:
+    """estep_eta_fused (ζ → N/ζ → ν → λ in one kernel) vs the XLA sequence."""
+
+    def _xla_reference(self, lam, nu, N, st, mu, invS, config):
+        from multimodalmusig_tpu.models.ctm_base import (
+            calculate_Ndivzeta,
+            update_zeta,
+        )
+        from multimodalmusig_tpu.ops.solvers import maximize_nu
+
+        zeta = update_zeta(lam, nu, config)
+        ndz = calculate_Ndivzeta(N, zeta, config)
+        nu2 = maximize_nu(nu, lam, ndz, jnp.diagonal(invS)[None, :])
+        lam2 = maximize_lambda(lam, nu2, ndz, st, mu, invS)
+        return zeta, nu2, lam2
+
+    def test_matches_xla_sequence(self, rng):
+        from multimodalmusig_tpu.models.ctm_base import CTMBaseConfig
+        from multimodalmusig_tpu.ops.pallas.lambda_kernel import estep_eta_fused
+
+        K, B = (3, 4), 17
+        MK = sum(K)
+        config = CTMBaseConfig(K=K, V=(5, 5), D=B, dtype=jnp.float32)
+        lam = jnp.asarray(rng.standard_normal((B, MK)), jnp.float32)
+        nu = jnp.asarray(rng.uniform(0.05, 1.0, (B, MK)), jnp.float32)
+        N = jnp.asarray(rng.integers(0, 40, (B, len(K))), jnp.float32)
+        st = jnp.asarray(rng.uniform(0.0, 10.0, (B, MK)), jnp.float32)
+        mu = jnp.asarray(rng.standard_normal(MK), jnp.float32)
+        A = rng.standard_normal((MK, MK)).astype(np.float32)
+        invS = jnp.asarray(A @ A.T + 0.5 * np.eye(MK, dtype=np.float32))
+
+        got = estep_eta_fused(
+            lam, nu, N, st, mu, invS, K, tile_b=128, interpret=True
+        )
+        want = self._xla_reference(lam, nu, N, st, mu, invS, config)
+        for g, w, label in zip(got, want, ("zeta", "nu", "lam")):
+            np.testing.assert_allclose(
+                np.asarray(g), np.asarray(w), rtol=2e-5, atol=2e-6,
+                err_msg=label,
+            )
+
+    def test_zero_count_modality(self, rng):
+        # a document with zero counts in one modality: N/ζ = 0, the ν/λ
+        # solves must stay finite (the 0·exp guard)
+        from multimodalmusig_tpu.ops.pallas.lambda_kernel import estep_eta_fused
+
+        K, B = (2, 2), 5
+        MK = sum(K)
+        lam = jnp.zeros((B, MK), jnp.float32)
+        nu = jnp.ones((B, MK), jnp.float32)
+        N = jnp.asarray(rng.integers(0, 30, (B, 2)), jnp.float32).at[0, 1].set(0.0)
+        st = jnp.asarray(rng.uniform(0.0, 5.0, (B, MK)), jnp.float32).at[0, 2:].set(0.0)
+        mu = jnp.zeros(MK, jnp.float32)
+        invS = jnp.eye(MK, dtype=jnp.float32)
+        zeta, nu2, lam2 = estep_eta_fused(
+            lam, nu, N, st, mu, invS, K, tile_b=128, interpret=True
+        )
+        assert np.isfinite(np.asarray(zeta)).all()
+        assert np.isfinite(np.asarray(nu2)).all()
+        assert np.isfinite(np.asarray(lam2)).all()
