@@ -10,6 +10,7 @@ with scipy reference optimizers.
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 import scipy.optimize
 from scipy.special import digamma as sp_digamma, gammaln as sp_gammaln
 
@@ -212,3 +213,59 @@ class TestAlpha:
             options={"xatol": 1e-12},
         )
         np.testing.assert_allclose(opt, res.x, rtol=1e-5)
+
+
+class TestIllConditionedRobustness:
+    """The failure class behind the round-2 NaN lane: ill-conditioned Σ⁻¹ in
+    float32. PCG + the polish trust region must keep every solve finite and
+    stationary across condition numbers up to ~1e6."""
+
+    def _random_spd(self, rng, mk, cond):
+        q, _ = np.linalg.qr(rng.standard_normal((mk, mk)))
+        eigs = np.logspace(0.0, np.log10(cond), mk)
+        return (q * eigs) @ q.T
+
+    @pytest.mark.parametrize("cond", [1e2, 1e4, 1e6])
+    def test_lambda_finite_and_stationary_f32(self, cond):
+        rng = np.random.default_rng(int(cond))
+        B, MK = 257, 14
+        invS = jnp.asarray(self._random_spd(rng, MK, cond), jnp.float32)
+        lam0 = jnp.asarray(rng.standard_normal((B, MK)) * 3.0, jnp.float32)
+        nu = jnp.asarray(rng.uniform(1e-5, 2.0, (B, MK)), jnp.float32)
+        ndz = jnp.asarray(
+            rng.uniform(0.0, 10.0, (B, MK)) * rng.integers(0, 2, (B, MK)),
+            jnp.float32,
+        )
+        st = jnp.asarray(rng.uniform(0.0, 50.0, (B, MK)), jnp.float32)
+        mu = jnp.asarray(rng.standard_normal(MK), jnp.float32)
+
+        lam = solvers.maximize_lambda(lam0, nu, ndz, st, mu, invS)
+        lam = np.asarray(lam)
+        assert np.isfinite(lam).all()
+        # stationarity at f32-appropriate scale: gradient components are
+        # O(cond)-scaled, so normalize by the gradient at the start
+        g_end = np.asarray(
+            jax.vmap(lambda l, n, z, s: solvers.lambda_grad(l, n, z, s, mu, invS))(
+                jnp.asarray(lam), nu, ndz, st
+            )
+        )
+        g_start = np.asarray(
+            jax.vmap(lambda l, n, z, s: solvers.lambda_grad(l, n, z, s, mu, invS))(
+                lam0, nu, ndz, st
+            )
+        )
+        assert np.abs(g_end).max() < 1e-2 * max(np.abs(g_start).max(), 1.0)
+
+    def test_nu_finite_under_extreme_inputs(self):
+        rng = np.random.default_rng(0)
+        B, MK = 127, 14
+        nu0 = jnp.asarray(rng.uniform(1e-7, 5.0, (B, MK)), jnp.float32)
+        lam = jnp.asarray(rng.uniform(-40.0, 40.0, (B, MK)), jnp.float32)
+        ndz = jnp.asarray(
+            rng.uniform(0.0, 1e4, (B, MK)) * rng.integers(0, 2, (B, MK)),
+            jnp.float32,
+        )
+        diag = jnp.asarray(rng.uniform(1e-3, 1e3, (MK,)), jnp.float32)
+        nu = np.asarray(solvers.maximize_nu(nu0, lam, ndz, diag[None, :]))
+        assert np.isfinite(nu).all()
+        assert (nu >= solvers.NU_LOWER_BOUND).all()
