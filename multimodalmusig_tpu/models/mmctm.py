@@ -452,6 +452,26 @@ def docmodality_loglikelihoods(
 _run_cavi = _run_cavi_base
 
 
+def _use_theta_moments(X, config) -> bool:
+    """Gate for the fused θ-moments kernel in the fit loop — OPT-IN
+    (`MUSIG_PALLAS_THETA=1`), off by default: measured SLOWER end-to-end
+    than XLA's fused einsums at benchmark shapes (1.44 s vs 1.10 s for the
+    100-restart BRCA fit — XLA already avoids materializing θ per restart
+    lane at these sizes, and the per-modality kernel launches under the
+    vmap batching rule cost more than they save). Requires the λ-kernel
+    conditions plus every modality's vocabulary fitting one lane tile
+    (V_m ≤ 128)."""
+    import os
+
+    from .ctm_base import _use_fused_lambda
+
+    return (
+        os.environ.get("MUSIG_PALLAS_THETA", "0") == "1"
+        and _use_fused_lambda()
+        and all(int(x.shape[-1]) <= 128 for x in X)
+    )
+
+
 def fit_step_fn(
     X: Sequence[jnp.ndarray],
     N: jnp.ndarray,
@@ -462,14 +482,48 @@ def fit_step_fn(
     """One full CAVI iteration as a closure (src/MMCTM.jl:463-479):
     batched E-step (ζ/θ/ν/λ ∀d) → μ → Σ (if update_sigma) → γ → α (if
     autoalpha) → per-modality log-likelihoods from softmax(λ) and
-    normalized γ."""
+    normalized γ.
+
+    With `MUSIG_PALLAS_THETA=1` the θ moments (sumθ and the γ scatter)
+    come from a fused Pallas pass per modality that never materializes θ
+    (ops/pallas/theta_kernel.py — kept opt-in: measured slower than XLA's
+    fused einsums at benchmark shapes, see _use_theta_moments); the default
+    path computes the einsums. Same math either way, f32 rounding apart."""
+    fused_theta = _use_theta_moments(X, config)
 
     def step(s):
-        s, theta = e_step(s, X, N, config)
-        s = update_mu(s)
-        if update_sigma:
-            s = update_Sigma(s, config)
-        s = update_gamma(s, X, config, theta)
+        if fused_theta:
+            from ..ops.pallas.theta_kernel import theta_moments_fused
+            from .ctm_base import solve_eta as _solve_eta
+
+            logw = smoothed_logw(s)
+            moments = [
+                theta_moments_fused(config.block(s.lam, m), logw[m], X[m])
+                for m in range(config.M)
+            ]
+            sumtheta = jnp.concatenate([mo[0] for mo in moments], axis=1)
+            zeta, nu, lam = _solve_eta(
+                s.lam, s.nu, N, sumtheta, s.mu, s.invSigma, config
+            )
+            s = s._replace(
+                zeta=zeta, lam_pre=s.lam, logw_pre=logw, nu=nu, lam=lam
+            )
+            s = update_mu(s)
+            if update_sigma:
+                s = update_Sigma(s, config)
+            gamma = tuple(
+                s.alpha[m] + moments[m][1] for m in range(config.M)
+            )
+            s = s._replace(
+                gamma=gamma,
+                Elnphi=tuple(dirichlet_expectation(g, axis=1) for g in gamma),
+            )
+        else:
+            s, theta = e_step(s, X, N, config)
+            s = update_mu(s)
+            if update_sigma:
+                s = update_Sigma(s, config)
+            s = update_gamma(s, X, config, theta)
         if autoalpha:
             s = update_alpha(s, config)
         ll_i = modality_loglikelihoods(X, props_from(s.lam, config), phi_point(s.gamma))

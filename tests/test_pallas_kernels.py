@@ -178,3 +178,77 @@ class TestFusedEstep:
         assert np.isfinite(np.asarray(zeta)).all()
         assert np.isfinite(np.asarray(nu2)).all()
         assert np.isfinite(np.asarray(lam2)).all()
+
+
+class TestThetaMoments:
+    """theta_moments_fused vs the reference einsums (interpret mode)."""
+
+    def _reference(self, lam_block, logw, X):
+        logits = lam_block[:, None, :] + logw[None, :, :]
+        theta = np.exp(logits - logits.max(axis=-1, keepdims=True))
+        theta /= theta.sum(axis=-1, keepdims=True)
+        st = np.einsum("dv,dvk->dk", X, theta)
+        ct = np.einsum("dv,dvk->kv", X, theta)
+        return st, ct
+
+    @pytest.mark.parametrize("D,V,K", [(17, 96, 7), (560, 48, 7), (33, 128, 11), (8, 5, 2)])
+    def test_matches_einsums(self, rng, D, V, K):
+        from multimodalmusig_tpu.ops.pallas.theta_kernel import theta_moments_fused
+
+        lam = rng.standard_normal((D, K)).astype(np.float32) * 2.0
+        logw = (rng.standard_normal((V, K)) - 4.0).astype(np.float32)
+        X = rng.integers(0, 30, (D, V)).astype(np.float32)
+        st, ct = theta_moments_fused(
+            jnp.asarray(lam), jnp.asarray(logw), jnp.asarray(X),
+            tile_d=16, interpret=True,
+        )
+        st_ref, ct_ref = self._reference(lam, logw, X)
+        np.testing.assert_allclose(np.asarray(st), st_ref, rtol=2e-5, atol=1e-4)
+        np.testing.assert_allclose(np.asarray(ct), ct_ref, rtol=2e-5, atol=1e-4)
+
+    def test_vocab_over_budget_raises(self, rng):
+        from multimodalmusig_tpu.ops.pallas.theta_kernel import theta_moments_fused
+
+        with pytest.raises(ValueError):
+            theta_moments_fused(
+                jnp.zeros((4, 2)), jnp.zeros((200, 2)), jnp.zeros((4, 200)),
+                interpret=True,
+            )
+
+    def test_fit_step_fused_matches_xla(self, mmctm_fixture, monkeypatch, rng):
+        """The fused fit step (MUSIG_PALLAS=1 in interpret-free CPU mode is
+        not possible, so patch the gate + interpret) matches the XLA step."""
+        import multimodalmusig_tpu.models.mmctm as mmod
+        import multimodalmusig_tpu.ops.pallas.theta_kernel as tk
+        from multimodalmusig_tpu.models.ctm_base import counts_per_doc
+        from multimodalmusig_tpu.models.mmctm import MMCTM
+
+        model = MMCTM(
+            mmctm_fixture["K"], mmctm_fixture["alpha"], mmctm_fixture["X"],
+            dtype=jnp.float64,
+        )
+        N = counts_per_doc(model.Xdense)
+
+        step_xla = mmod.fit_step_fn(model.Xdense, N, model.config)
+        s_xla, ll_xla = step_xla(model.state)
+
+        orig = tk.theta_moments_fused
+        monkeypatch.setattr(
+            tk, "theta_moments_fused",
+            lambda *a, **k: orig(*a, interpret=True, **{kk: vv for kk, vv in k.items() if kk != "interpret"}),
+        )
+        monkeypatch.setattr(mmod, "_use_theta_moments", lambda X, config: True)
+        step_fused = mmod.fit_step_fn(model.Xdense, N, model.config)
+        s_fused, ll_fused = step_fused(model.state)
+
+        np.testing.assert_allclose(
+            np.asarray(ll_fused), np.asarray(ll_xla), rtol=1e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(s_fused.lam), np.asarray(s_xla.lam), rtol=1e-4, atol=1e-5
+        )
+        for m in range(model.config.M):
+            np.testing.assert_allclose(
+                np.asarray(s_fused.gamma[m]), np.asarray(s_xla.gamma[m]),
+                rtol=1e-5, atol=1e-4,
+            )
