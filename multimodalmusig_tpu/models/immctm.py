@@ -45,8 +45,6 @@ from .ctm_base import (
     props_from_lam,
     run_cavi as _run_cavi,
     solve_eta,
-    solve_lambda,
-    solve_nu,
     spd_inverse as _spd_inverse,
     update_Sigma_mats,
     update_mu_vec,

@@ -64,8 +64,6 @@ from .ctm_base import (
     props_from_lam,
     run_cavi as _run_cavi_base,
     solve_eta,
-    solve_lambda,
-    solve_nu,
     spd_inverse as _spd_inverse,
     update_Sigma_mats,
     update_mu_vec,
@@ -290,19 +288,22 @@ def update_gamma(
     X: Sequence[jnp.ndarray],
     config: MMCTMConfig,
     theta: Sequence[jnp.ndarray] = None,
+    scatter: Sequence[jnp.ndarray] = None,
 ) -> MMCTMState:
     """γ_m[k,v] = α_m + Σ_d X_m[d,v]·θ_m[d,v,k], then E[ln ϕ]
     (src/MMCTM.jl:224-250, 214-222). θ defaults to the last E-step's
-    (reconstructed)."""
-    if theta is None:
-        theta = reconstruct_theta(state, config)
-    gamma = tuple(
-        state.alpha[m]
-        + jnp.einsum(
-            "dv,dvk->kv", X[m], theta[m], preferred_element_type=config.dtype
+    (reconstructed); `scatter` supplies the (K_m, V_m) count-weighted sums
+    directly (the fused θ-moments path) instead of contracting θ here."""
+    if scatter is None:
+        if theta is None:
+            theta = reconstruct_theta(state, config)
+        scatter = tuple(
+            jnp.einsum(
+                "dv,dvk->kv", X[m], theta[m], preferred_element_type=config.dtype
+            )
+            for m in range(config.M)
         )
-        for m in range(config.M)
-    )
+    gamma = tuple(state.alpha[m] + scatter[m] for m in range(config.M))
     return state._replace(
         gamma=gamma,
         Elnphi=tuple(dirichlet_expectation(g, axis=1) for g in gamma),
@@ -469,6 +470,7 @@ def _use_theta_moments(X, config) -> bool:
         os.environ.get("MUSIG_PALLAS_THETA", "0") == "1"
         and _use_fused_lambda()
         and all(int(x.shape[-1]) <= 128 for x in X)
+        and all(k <= 128 for k in config.K)
     )
 
 
@@ -511,12 +513,8 @@ def fit_step_fn(
             s = update_mu(s)
             if update_sigma:
                 s = update_Sigma(s, config)
-            gamma = tuple(
-                s.alpha[m] + moments[m][1] for m in range(config.M)
-            )
-            s = s._replace(
-                gamma=gamma,
-                Elnphi=tuple(dirichlet_expectation(g, axis=1) for g in gamma),
+            s = update_gamma(
+                s, X, config, scatter=tuple(mo[1] for mo in moments)
             )
         else:
             s, theta = e_step(s, X, N, config)

@@ -41,11 +41,9 @@ from ..solvers import (
     _N_POLISH as _NU_POLISH,
     _POLISH_MAX_STEP,
     LAMBDA_POLISH_ITERS,
+    NU_FP_ITERS as _NU_FP_ITERS,
     NU_LOWER_BOUND as _NU_LB,
 )
-
-# maximize_nu's fixed-point sweep count (ops/solvers.py maximize_nu n_iter)
-_NU_FP_ITERS = 8
 
 __all__ = [
     "maximize_lambda_fused",
@@ -163,6 +161,25 @@ def _lambda_solve(lam, nu, ndz, st, mu_col, invS, *, n_iter: int, cg_iter: int):
     return jax.lax.fori_loop(0, _N_POLISH, polish, lam)
 
 
+def _pad_transposed(x, width, Bp, fill=0.0):
+    """(B, W) -> transposed (width, Bp) float32 block, padded with `fill`."""
+    B, W = x.shape
+    return jnp.pad(
+        x.astype(jnp.float32).T, ((0, width - W), (0, Bp - B)),
+        constant_values=fill,
+    )
+
+
+def _shared_blocks(mu, invSigma, MK, MKP):
+    """The μ column block and identity-padded Σ⁻¹ block every wrapper needs:
+    padded topic rows see an identity row (inert Newton coordinates)."""
+    dt = jnp.float32
+    mu_p = jnp.zeros((MKP, 128), dt).at[:MK, 0].set(mu.astype(dt))
+    eye_pad = jnp.eye(MKP, dtype=dt).at[:MK, :MK].set(0.0)
+    invS_p = jnp.zeros((MKP, MKP), dt).at[:MK, :MK].set(invSigma.astype(dt)) + eye_pad
+    return mu_p, invS_p
+
+
 def _lambda_kernel(lam_ref, nu_ref, ndz_ref, st_ref, mu_ref, invS_ref, out_ref,
                    *, n_iter: int, cg_iter: int):
     out_ref[:] = _lambda_solve(
@@ -206,19 +223,11 @@ def maximize_lambda_fused(
     tile_b = min(tile_b, ((B + 127) // 128) * 128)
     Bp = ((B + tile_b - 1) // tile_b) * tile_b
 
-    def pad_t(x, fill=0.0):
-        # (B, MK) -> transposed, padded (MKP, Bp)
-        return jnp.pad(
-            x.astype(dt).T, ((0, MKP - MK), (0, Bp - B)), constant_values=fill
-        )
-
-    lam_p = pad_t(lam0)
-    nu_p = pad_t(nu, fill=1.0)
-    ndz_p = pad_t(Ndivzeta)
-    st_p = pad_t(sumtheta)
-    mu_p = jnp.zeros((MKP, 128), dt).at[:MK, 0].set(mu.astype(dt))
-    eye_pad = jnp.eye(MKP, dtype=dt).at[:MK, :MK].set(0.0)
-    invS_p = jnp.zeros((MKP, MKP), dt).at[:MK, :MK].set(invSigma.astype(dt)) + eye_pad
+    lam_p = _pad_transposed(lam0, MKP, Bp)
+    nu_p = _pad_transposed(nu, MKP, Bp, fill=1.0)
+    ndz_p = _pad_transposed(Ndivzeta, MKP, Bp)
+    st_p = _pad_transposed(sumtheta, MKP, Bp)
+    mu_p, invS_p = _shared_blocks(mu, invSigma, MK, MKP)
 
     grid = (Bp // tile_b,)
     out = pl.pallas_call(
@@ -417,19 +426,11 @@ def estep_eta_fused(
         acc += k
     offsets = tuple(offsets)
 
-    def pad_t(x, width, fill=0.0):
-        return jnp.pad(
-            x.astype(dt).T, ((0, width - x.shape[1]), (0, Bp - B)),
-            constant_values=fill,
-        )
-
-    lam_p = pad_t(lam0, MKP)
-    nu_p = pad_t(nu, MKP, fill=1.0)
-    N_p = pad_t(N, MP)
-    st_p = pad_t(sumtheta, MKP)
-    mu_p = jnp.zeros((MKP, 128), dt).at[:MK, 0].set(mu.astype(dt))
-    eye_pad = jnp.eye(MKP, dtype=dt).at[:MK, :MK].set(0.0)
-    invS_p = jnp.zeros((MKP, MKP), dt).at[:MK, :MK].set(invSigma.astype(dt)) + eye_pad
+    lam_p = _pad_transposed(lam0, MKP, Bp)
+    nu_p = _pad_transposed(nu, MKP, Bp, fill=1.0)
+    N_p = _pad_transposed(N, MP, Bp)
+    st_p = _pad_transposed(sumtheta, MKP, Bp)
+    mu_p, invS_p = _shared_blocks(mu, invSigma, MK, MKP)
 
     grid = (Bp // tile_b,)
     tile = lambda w: pl.BlockSpec((w, tile_b), lambda i: (0, i), memory_space=pltpu.VMEM)

@@ -68,6 +68,10 @@ _POLISH_MAX_STEP = 2.0
 # _N_BACKTRACK/_POLISH_MAX_STEP) so the two implementations cannot drift.
 LAMBDA_POLISH_ITERS = 2
 
+# maximize_nu's fixed-point sweep count (its n_iter default); the fused
+# E-step kernel imports this so the two implementations cannot drift.
+NU_FP_ITERS = 8
+
 __all__ = [
     "lambda_objective",
     "lambda_grad",
@@ -303,7 +307,7 @@ def nu_grad(nu, lam, Ndivzeta, invSigma_diag):
 
 
 @partial(jax.jit, static_argnames=("n_iter",))
-def maximize_nu(nu0, lam, Ndivzeta, invSigma_diag, n_iter: int = 8):
+def maximize_nu(nu0, lam, Ndivzeta, invSigma_diag, n_iter: int = NU_FP_ITERS):
     """Elementwise ν maximization; any batch shape, all args broadcast.
 
     Replaces the MK-dimensional NLopt solve at src/MMCTM.jl:156-170. The
