@@ -44,6 +44,12 @@ class CTMBaseConfig:
     V: Tuple[int, ...]  # vocab items per modality
     D: int              # documents
     dtype: Any = jnp.float32
+    # Inner λ-solver budgets (None = the measured defaults in ops/solvers.py,
+    # tuned on the BRCA workload: MK=14, cond(Σ⁻¹) ≲ 1e6). Datasets with much
+    # larger MK or harsher precision-matrix geometry can raise these without
+    # editing solver code; they thread through solve_eta → solve_lambda.
+    lambda_n_iter: Any = None
+    lambda_cg_iter: Any = None
 
     @property
     def M(self) -> int:
@@ -98,9 +104,10 @@ def update_zeta(lam: jnp.ndarray, nu: jnp.ndarray, config) -> jnp.ndarray:
     return jnp.stack([config.block(e, m).sum(axis=1) for m in range(config.M)], axis=1)
 
 
-def solve_nu(nu, lam, Ndivzeta, invSigma):
+def solve_nu(nu, lam, Ndivzeta, invSigma, n_iter=None):
     """Batched ν maximization (replaces NLopt at src/MMCTM.jl:156-170)."""
-    return maximize_nu(nu, lam, Ndivzeta, jnp.diagonal(invSigma)[None, :])
+    kw = {} if n_iter is None else {"n_iter": n_iter}
+    return maximize_nu(nu, lam, Ndivzeta, jnp.diagonal(invSigma)[None, :], **kw)
 
 
 def _use_fused_lambda() -> bool:
@@ -112,12 +119,15 @@ def _use_fused_lambda() -> bool:
     the isolated solve (tools/lambda_ab.py). `MUSIG_PALLAS=1` forces it on
     (e.g. interpret-mode tests), `MUSIG_PALLAS=0` forces the XLA path.
     The two paths differ only in f32 rounding (~1e-8 per solve).
-    """
-    import os
 
-    flag = os.environ.get("MUSIG_PALLAS", "auto")
-    if flag in ("0", "1"):
-        return flag == "1"
+    The env var is resolved once at import (ops/flags.py): the gate runs at
+    trace time and jit caches don't key on the environment, so a re-read
+    here would make mid-process env flips silently ineffective.
+    """
+    from ..ops import flags
+
+    if flags.PALLAS in ("0", "1"):
+        return flags.PALLAS == "1"
     try:
         # Single-device TPU only: GSPMD cannot partition a pallas_call, so a
         # multi-chip sharded fit must take the XLA path (which partitions
@@ -128,13 +138,23 @@ def _use_fused_lambda() -> bool:
         return False
 
 
-def solve_lambda(lam, nu, Ndivzeta, sumtheta, mu, invSigma):
-    """Batched λ maximization (replaces NLopt at src/MMCTM.jl:127-143)."""
+def solve_lambda(lam, nu, Ndivzeta, sumtheta, mu, invSigma,
+                 n_iter=None, cg_iter=None):
+    """Batched λ maximization (replaces NLopt at src/MMCTM.jl:127-143).
+
+    `n_iter`/`cg_iter` override the solver's measured defaults (7 Newton
+    iterations, MK CG iterations — ops/solvers.py maximize_lambda) for
+    callers whose problems outgrow the BRCA-tuned budget."""
+    kw = {}
+    if n_iter is not None:
+        kw["n_iter"] = int(n_iter)
+    if cg_iter is not None:
+        kw["cg_iter"] = int(cg_iter)
     if _use_fused_lambda() and lam.shape[-1] <= 128:
         from ..ops.pallas.lambda_kernel import maximize_lambda_fused
 
-        return maximize_lambda_fused(lam, nu, Ndivzeta, sumtheta, mu, invSigma)
-    return maximize_lambda(lam, nu, Ndivzeta, sumtheta, mu, invSigma)
+        return maximize_lambda_fused(lam, nu, Ndivzeta, sumtheta, mu, invSigma, **kw)
+    return maximize_lambda(lam, nu, Ndivzeta, sumtheta, mu, invSigma, **kw)
 
 
 def solve_eta(lam, nu, N, sumtheta, mu, invSigma, config):
@@ -150,20 +170,21 @@ def solve_eta(lam, nu, N, sumtheta, mu, invSigma, config):
     cold vs ~4), so the default stays λ-only. The fused and XLA paths agree
     to f32 rounding (mirrored op-for-op; tests/test_pallas_kernels.py).
     """
-    import os
+    from ..ops import flags
 
-    if (
-        os.environ.get("MUSIG_PALLAS_ESTEP", "0") == "1"
-        and _use_fused_lambda()
-        and config.MK <= 128
-    ):
+    kw = {}
+    if config.lambda_n_iter is not None:
+        kw["n_iter"] = int(config.lambda_n_iter)
+    if config.lambda_cg_iter is not None:
+        kw["cg_iter"] = int(config.lambda_cg_iter)
+    if flags.PALLAS_ESTEP and _use_fused_lambda() and config.MK <= 128:
         from ..ops.pallas.lambda_kernel import estep_eta_fused
 
-        return estep_eta_fused(lam, nu, N, sumtheta, mu, invSigma, config.K)
+        return estep_eta_fused(lam, nu, N, sumtheta, mu, invSigma, config.K, **kw)
     zeta = update_zeta(lam, nu, config)
     Ndivzeta = calculate_Ndivzeta(N, zeta, config)
     nu2 = maximize_nu(nu, lam, Ndivzeta, jnp.diagonal(invSigma)[None, :])
-    lam2 = solve_lambda(lam, nu2, Ndivzeta, sumtheta, mu, invSigma)
+    lam2 = solve_lambda(lam, nu2, Ndivzeta, sumtheta, mu, invSigma, **kw)
     return zeta, nu2, lam2
 
 

@@ -461,13 +461,12 @@ def _use_theta_moments(X, config) -> bool:
     lane at these sizes, and the per-modality kernel launches under the
     vmap batching rule cost more than they save). Requires the λ-kernel
     conditions plus every modality's vocabulary fitting one lane tile
-    (V_m ≤ 128)."""
-    import os
-
+    (V_m ≤ 128). Env flag resolved once at import (ops/flags.py)."""
+    from ..ops import flags
     from .ctm_base import _use_fused_lambda
 
     return (
-        os.environ.get("MUSIG_PALLAS_THETA", "0") == "1"
+        flags.PALLAS_THETA
         and _use_fused_lambda()
         and all(int(x.shape[-1]) <= 128 for x in X)
         and all(k <= 128 for k in config.K)

@@ -1,0 +1,28 @@
+"""Pallas-kernel gate flags, resolved ONCE at import.
+
+The gates are consulted at trace time inside jitted fits, and jit caches do
+not key on the process environment — so if the env vars were re-read on
+every call, toggling one after a fit has been traced would silently keep the
+previously compiled path (an in-process A/B comparison would measure the
+same kernel twice). Pinning the values at import makes the behavior
+deterministic for the life of the process: change the flag, start a new
+process (tools/pallas_fit_ab.py runs its arms in separate subprocesses for
+exactly this reason — see NOTES.md round-2 finding 5).
+
+Tests that need to flip a gate in-process monkeypatch the gate *functions*
+(e.g. models.mmctm._use_theta_moments), not these constants.
+"""
+
+import os
+
+# MUSIG_PALLAS: "auto" (default; fused λ kernel on when the backend is a
+# single TPU device), "1" (force on), "0" (force the XLA path).
+PALLAS = os.environ.get("MUSIG_PALLAS", "auto")
+
+# MUSIG_PALLAS_ESTEP=1: fuse ζ/ν into the λ kernel (measured neutral on the
+# benchmark but ~2x the Mosaic compile; opt-in — models/ctm_base.py solve_eta).
+PALLAS_ESTEP = os.environ.get("MUSIG_PALLAS_ESTEP", "0") == "1"
+
+# MUSIG_PALLAS_THETA=1: fused θ-moments kernel (measured slower than XLA's
+# fusion at BRCA shapes; opt-in — models/mmctm.py _use_theta_moments).
+PALLAS_THETA = os.environ.get("MUSIG_PALLAS_THETA", "0") == "1"

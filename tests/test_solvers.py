@@ -269,3 +269,60 @@ class TestIllConditionedRobustness:
         nu = np.asarray(solvers.maximize_nu(nu0, lam, ndz, diag[None, :]))
         assert np.isfinite(nu).all()
         assert (nu >= solvers.NU_LOWER_BOUND).all()
+
+
+class TestBudgetPlumbing:
+    """ADVICE r2: the λ Newton/CG budgets must be raisable by callers —
+    solve_lambda/solve_eta accept overrides and CTMBaseConfig threads them
+    into the fit step, so harsher-geometry datasets aren't silently stuck
+    with the BRCA-tuned defaults."""
+
+    def _problem(self):
+        rng = np.random.default_rng(3)
+        B, MK = 16, 5
+        A = rng.normal(size=(MK, MK))
+        invS = jnp.asarray(np.eye(MK) + 0.1 * A @ A.T, jnp.float32)
+        return (
+            jnp.zeros((B, MK), jnp.float32),
+            jnp.asarray(rng.uniform(0.5, 1.5, (B, MK)), jnp.float32),
+            jnp.asarray(rng.uniform(1, 10, (B, MK)), jnp.float32),
+            jnp.asarray(rng.uniform(0, 5, (B, MK)), jnp.float32),
+            jnp.asarray(rng.normal(size=MK), jnp.float32),
+            invS,
+        )
+
+    def test_solve_lambda_accepts_budget_overrides(self):
+        from multimodalmusig_tpu.models.ctm_base import solve_lambda
+
+        lam0, nu, ndz, st, mu, invS = self._problem()
+        dflt = np.asarray(solve_lambda(lam0, nu, ndz, st, mu, invS))
+        big = np.asarray(
+            solve_lambda(lam0, nu, ndz, st, mu, invS, n_iter=20, cg_iter=10)
+        )
+        # both budgets solve this easy problem; the override path must run
+        # and land on the same optimum
+        np.testing.assert_allclose(big, dflt, rtol=1e-4, atol=1e-5)
+
+    def test_config_threads_budgets_through_fit(self, rng):
+        from multimodalmusig_tpu.models.mmctm import MMCTM
+
+        X = [
+            [np.array([[1, 4], [2, 2]]), np.array([[1, 3], [3, 2]])],
+            [np.array([[2, 2], [1, 5]]), np.array([[1, 2], [2, 1]])],
+        ]
+        m_default = MMCTM([2, 2], [0.1, 0.1], X)
+        assert m_default.config.lambda_n_iter is None
+        m_big = MMCTM([2, 2], [0.1, 0.1], X)
+        m_big.config = m_big.config.__class__(
+            **{
+                **{f.name: getattr(m_big.config, f.name)
+                   for f in __import__("dataclasses").fields(m_big.config)},
+                "lambda_n_iter": 12,
+                "lambda_cg_iter": 6,
+            }
+        )
+        m_default.fit(maxiter=3)
+        m_big.fit(maxiter=3)
+        np.testing.assert_allclose(
+            np.asarray(m_big.ll), np.asarray(m_default.ll), rtol=1e-3
+        )
