@@ -55,8 +55,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--verbose", "-v", action="store_true", help="print output")
     p.add_argument(
         "--progress", "-p", action="store_true",
-        help="accepted for reference-CLI compatibility (restarts run as one "
-        "compiled program; there is no per-restart progress to stream)",
+        help="stream per-chunk restart completion counts (needs "
+        "--chunk-iters: an unchunked fit is a single compiled device "
+        "dispatch with nothing observable until it returns)",
     )
     p.add_argument("--seed", "-s", type=int, default=147959412, help="random state seed")
     p.add_argument(
@@ -141,6 +142,27 @@ def main(argv=None) -> int:
     alpha = [args.alpha] * len(args.k)
     V = [mat.shape[0] for mat, _, _ in loaded]
 
+    # Per-chunk progress: the analogue of the reference's restart progress
+    # bar (run_mmctm.jl:101-104). Only the chunked driver has observable
+    # intermediate state — an unchunked fit is ONE device dispatch, so there
+    # is nothing to stream until it returns (say so instead of silence).
+    progress = None
+    if args.progress:
+        if args.chunk_iters:
+            def progress(stage, done, total):
+                print(
+                    f"run-mmctm: stage {stage}: {done}/{total} restarts "
+                    "converged",
+                    file=sys.stderr,
+                )
+        else:
+            print(
+                "run-mmctm: --progress needs --chunk-iters; the unchunked "
+                "fit runs each stage as a single compiled dispatch with no "
+                "observable intermediate state",
+                file=sys.stderr,
+            )
+
     model = fit_mmctm_restarts(
         args.k,
         alpha,
@@ -152,6 +174,7 @@ def main(argv=None) -> int:
         seed=args.seed,
         verbose=args.verbose,
         chunk_iters=args.chunk_iters or None,
+        progress=progress,
     )
     if args.verbose:
         print(f"Log-likelihoods: {model.ll}")

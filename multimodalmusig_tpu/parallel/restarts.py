@@ -24,8 +24,10 @@ over the fresh random init (run_mmctm.jl:126-130), and all remaining state
 (λ=0, ν=1, uniform θ, ζ) initializes deterministically, so its R stage-2
 workers compute R identical models and the rank-based pick returns the
 first. We therefore run stage 2 once by default (`stage2_restarts=1`),
-reproducing the reference's result at 1/R the cost; raising
-`stage2_restarts` adds lanes with *fresh-γ* diversity instead of duplicates.
+reproducing the reference's result at 1/R the cost. The same holds here:
+raising `stage2_restarts` only adds identical lanes (the per-lane random γ
+is entirely overwritten by the graft), pinned by
+tests/test_parallel.py::test_stage2_restarts_are_duplicates.
 """
 
 from __future__ import annotations
@@ -154,6 +156,7 @@ def fit_restarts(
     tol: float = 1e-4,
     init_method: str = "random",
     chunk_iters: int = None,
+    progress=None,
 ) -> MMCTMFitResult:
     """Fit `restarts` independently-initialized MMCTMs in one compiled
     program (replaces pmap(fit_restart), run_mmctm.jl:99-111). Returns a
@@ -163,6 +166,10 @@ def fit_restarts(
     becomes a host loop over resumable chunks (identical math/results).
     Use this for long fits on remote-attached accelerators, where a single
     execution running for minutes can trip runtime watchdogs.
+
+    `progress(done, total)` streams per-chunk completed-restart counts
+    (requires `chunk_iters`: an unchunked fit is one device dispatch with
+    nothing observable until it returns).
     """
     if chunk_iters is None:
         return fit_restarts_from_keys(
@@ -177,11 +184,12 @@ def fit_restarts(
         lambda c: _advance_carries(c, X, config, maxiter, tol, chunk_iters),
         maxiter,
         restarts,
+        progress=progress,
     )
     return _finalize_carries(final, X, config)
 
 
-def _chunked_drive(carries, advance, maxiter, restarts):
+def _chunked_drive(carries, advance, maxiter, restarts, progress=None):
     """Host loop with LANE COMPACTION over a batched CAVI carry.
 
     A vmapped while_loop computes every lane until the slowest lane
@@ -199,6 +207,11 @@ def _chunked_drive(carries, advance, maxiter, restarts):
     finished lane to the host between chunks; on a remote-attached
     accelerator those transfers dominated — 13.5 s vs 2.6 s for the whole
     100-restart benchmark fit.)
+
+    `progress(done, total)` is called after every chunk with the number of
+    unique finished restarts — the analogue of the reference's per-restart
+    progress bar over its pmap (run_mmctm.jl:101-104), which a single
+    compiled dispatch cannot stream but the chunk boundary gives for free.
     """
     order = np.arange(restarts)
     done_groups = []   # device pytrees, each a batch of finished lanes
@@ -209,6 +222,8 @@ def _chunked_drive(carries, advance, maxiter, restarts):
         done = np.asarray(carries[3]) | (it >= maxiter)
         done_pos = np.nonzero(done)[0]
         active_pos = np.nonzero(~done)[0]
+        if progress is not None:
+            progress(restarts - np.unique(order[active_pos]).size, restarts)
         # Gather finished lanes on device only when we'd shrink the batch
         # (or are finished): gathers are cheap, but skipping no-op chunks
         # avoids pointless dispatches.
@@ -284,13 +299,15 @@ def two_stage_fit(
     stage2_tol: float = 1e-5,
     init_method: str = "random",
     chunk_iters: int = None,
+    progress=None,
 ):
     """The CLI's full two-stage protocol (run_mmctm.jl:163-180). Returns
     (best stage-2 result (unbatched), stage-1 batched result, stage-2
     batched result, best index).
 
     With `chunk_iters` set, both stages run as host-chunked resumable fits
-    (bounded device executions — see fit_restarts).
+    (bounded device executions — see fit_restarts), and `progress(stage,
+    done, total)` streams per-chunk completion counts (stage is 1 or 2).
     """
     X = tuple(X)
     k1, k2 = jax.random.split(key)
@@ -299,6 +316,7 @@ def two_stage_fit(
         key=k1, X=X, config=config, alpha=alpha, restarts=restarts,
         maxiter=maxiter, tol=stage1_tol, init_method=init_method,
         chunk_iters=chunk_iters,
+        progress=None if progress is None else partial(progress, 1),
     )
     best_m = pick_optimal_modality_restarts(stage1.ll)  # (M,)
 
@@ -334,6 +352,7 @@ def two_stage_fit(
             lambda c: _advance_carries(c, X, config, maxiter, stage2_tol, chunk_iters),
             maxiter,
             stage2_restarts,
+            progress=None if progress is None else partial(progress, 2),
         )
         stage2 = _finalize_carries(final, X, config)
     best = pick_optimal_restart(stage2.ll)
@@ -354,10 +373,12 @@ def fit_mmctm_restarts(
     dtype=None,
     verbose: bool = False,
     chunk_iters: Optional[int] = None,
+    progress=None,
 ) -> MMCTM:
     """High-level entry mirroring the CLI's `fit_model` (run_mmctm.jl:163-180):
     multi-restart two-stage MMCTM fitting, returning the selected model as a
-    fitted MMCTM wrapper (with `ll_history` attached).
+    fitted MMCTM wrapper (with `ll_history` attached). `progress(stage, done,
+    total)` streams per-chunk completion when `chunk_iters` is set.
 
     Unchunked by default: on a remote-attached accelerator every chunk
     boundary costs a host round-trip that dwarfs the device work (measured
@@ -377,6 +398,7 @@ def fit_mmctm_restarts(
         stage1_tol=stage1_tol,
         stage2_tol=stage2_tol,
         chunk_iters=chunk_iters,
+        progress=progress,
     )
     if verbose:
         best_m = np.asarray(pick_optimal_modality_restarts(stage1.ll))

@@ -35,7 +35,7 @@ def test_cli_subprocess_end_to_end(tmp_path):
             "--restarts", "2", "--maxiter", "8", "--chunk-iters", "4",
             "--sigs", str(tmp_path / "sigs.tsv"),
             "--props", str(tmp_path / "props.tsv"),
-            "--verbose",
+            "--verbose", "--progress",
         ],
         capture_output=True,
         text=True,
@@ -44,8 +44,47 @@ def test_cli_subprocess_end_to_end(tmp_path):
     )
     assert out.returncode == 0, out.stderr[-2000:]
     assert "Log-likelihoods" in out.stdout
+    # --progress with --chunk-iters streams per-chunk completion counts
+    # (the reference's restart progress bar analogue, run_mmctm.jl:101-104)
+    prog = [l for l in out.stderr.splitlines() if "restarts converged" in l]
+    assert any("stage 1" in l for l in prog), out.stderr[-2000:]
+    assert any(f"/2 restarts converged" in l for l in prog)
     sigs = pd.read_csv(tmp_path / "sigs.tsv", sep="\t")
     assert {"modality", "topic", "term", "probability"} <= set(sigs.columns)
     props = pd.read_csv(tmp_path / "props.tsv", sep="\t")
     assert props.shape == (4, 9)  # 4 topics x (label + 8 samples)
     assert np.isfinite(props.iloc[:, 1:].to_numpy()).all()
+
+
+def test_cli_progress_without_chunking_explains(tmp_path, capsys=None):
+    """--progress without --chunk-iters must say why nothing streams
+    (unchunked fits are one compiled dispatch), not silently no-op."""
+    import pandas as pd
+
+    df = pd.DataFrame(
+        {
+            "term": ["a", "b", "c"],
+            "s1": [3, 1, 0],
+            "s2": [0, 2, 4],
+            "s3": [1, 1, 1],
+        }
+    )
+    p1, p2 = str(tmp_path / "m1.tsv"), str(tmp_path / "m2.tsv")
+    df.to_csv(p1, sep="\t", index=False)
+    df.to_csv(p2, sep="\t", index=False)
+    env = dict(os.environ)
+    env.update(
+        PYTHONPATH="/root/repo",
+        JAX_PLATFORMS="cpu",
+        JAX_COMPILATION_CACHE_DIR="/tmp/jax_cache_cli",
+    )
+    out = subprocess.run(
+        [
+            sys.executable, "-m", "multimodalmusig_tpu.cli",
+            p1, p2, "-k", "2", "2", "-m", "A", "B",
+            "--restarts", "2", "--maxiter", "3", "--progress",
+        ],
+        capture_output=True, text=True, timeout=600, env=env,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "--progress needs --chunk-iters" in out.stderr

@@ -91,6 +91,29 @@ class TestTwoStage:
         for m in range(2):
             assert b[m] >= np.median(s1[:, m]) - 0.5
 
+    def test_stage2_restarts_are_duplicates(self, mmctm_fixture):
+        """Pins the stage2_restarts=1 default (restarts.py module docstring):
+        the reference grafts EVERY modality's best topics over each stage-2
+        worker (run_mmctm.jl:126-130) and all remaining state initializes
+        deterministically, so its R stage-2 fits are identical — and so are
+        ours (the per-lane random γ is entirely overwritten by the graft)."""
+        model = MMCTM(mmctm_fixture["K"], mmctm_fixture["alpha"], mmctm_fixture["X"])
+        _, _, stage2, idx = rmod.two_stage_fit(
+            jax.random.key(0),
+            model.Xdense,
+            model.config,
+            jnp.asarray([0.1, 0.1], model.config.dtype),
+            restarts=3,
+            stage2_restarts=3,
+            maxiter=12,
+        )
+        ll = np.asarray(stage2.ll)
+        lam = np.asarray(stage2.state.lam)
+        for r in (1, 2):
+            np.testing.assert_array_equal(ll[r], ll[0])
+            np.testing.assert_array_equal(lam[r], lam[0])
+        assert int(idx) == 0  # dense-rank pick returns the first of the ties
+
     def test_wrapper_returns_fitted_model(self, mmctm_fixture):
         model = rmod.fit_mmctm_restarts(
             mmctm_fixture["K"], mmctm_fixture["alpha"], mmctm_fixture["X"],
