@@ -60,6 +60,18 @@ def load_counts_np():
     return rows
 
 
+def _pinned_proxy_floor():
+    """The recorded all-time-minimum proxy s/iter (BASELINE.json
+    pinned_proxy.floor_s_per_iter); falls back to the round-3 calibration
+    constant if the file is missing."""
+    try:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BASELINE.json")) as f:
+            return float(json.load(f)["pinned_proxy"]["floor_s_per_iter"])
+    except Exception:
+        return 7.7
+
+
 def measure_proxy_iteration_seconds(Xnp, iters=PROXY_ITERS):
     """Seconds per CAVI iteration of the reference-architecture proxy
     (tools/reference_proxy_bench.py) on this machine's CPU. NumPy/SciPy
@@ -132,17 +144,24 @@ def run_benchmark(restarts, note=None):
     # them out of both the baseline's iteration count and the best-ll report
     median_iters = int(np.median(iters[finite])) if finite.any() else int(np.median(iters))
 
-    # baseline: one reference-architecture restart = s/iter × iters-to-tol
+    # baseline: one reference-architecture restart = s/iter × iters-to-tol.
+    # Two ratios (VERDICT r2 weak #2): the LIVE proxy re-measures s/iter on
+    # this host now (varies 7.7-25.7 s/iter with shared-host load), while the
+    # PINNED ratio uses the recorded all-time floor from BASELINE.json —
+    # stable across runs and the most conservative claimable number.
     per_iter_proxy = measure_proxy_iteration_seconds(Xnp)
     t_ref_restart = per_iter_proxy * median_iters
+    pinned_floor = _pinned_proxy_floor()
+    t_ref_pinned = pinned_floor * median_iters
 
     value = restarts / t_accel
-    baseline = 1.0 / t_ref_restart
     out = {
         "metric": METRIC,
         "value": round(value, 4),
         "unit": "restarts/s",
-        "vs_baseline": round(value / baseline, 4),
+        "vs_baseline": round(value * t_ref_pinned, 4),
+        "vs_baseline_pinned": round(value * t_ref_pinned, 4),
+        "vs_baseline_live": round(value * t_ref_restart, 4),
     }
     if note:
         out["note"] = note
@@ -151,7 +170,7 @@ def run_benchmark(restarts, note=None):
         f"t_accel={t_accel:.2f}s iters_median={median_iters} "
         f"finite_lanes={int(finite.sum())}/{restarts} "
         f"best_ll={np.nanmax(np.where(np.isfinite(ll), ll, np.nan), axis=0)} "
-        f"proxy_s_per_iter={per_iter_proxy:.2f} "
+        f"proxy_s_per_iter={per_iter_proxy:.2f} (pinned_floor={pinned_floor}) "
         f"t_ref_restart={t_ref_restart:.1f}s"
     )
     return out, diag
