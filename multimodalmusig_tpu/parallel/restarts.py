@@ -129,6 +129,8 @@ def _init_carries(keys, X, config, alpha, maxiter, init_method="random"):
 
 @partial(jax.jit, static_argnames=("config", "maxiter", "tol", "chunk"))
 def _advance_carries(carries, X, config, maxiter, tol, chunk):
+    """Advance every lane by up to `chunk` CAVI iterations (None = to
+    maxiter / per-lane convergence)."""
     X = tuple(X)
     N = counts_per_doc(X)
     step = mmctm_mod.fit_step_fn(X, N, config)
@@ -156,6 +158,7 @@ def fit_restarts(
     tol: float = 1e-4,
     init_method: str = "random",
     chunk_iters: int = None,
+    compact_schedule: Optional[Sequence[int]] = None,
     progress=None,
 ) -> MMCTMFitResult:
     """Fit `restarts` independently-initialized MMCTMs in one compiled
@@ -167,11 +170,23 @@ def fit_restarts(
     Use this for long fits on remote-attached accelerators, where a single
     execution running for minutes can trip runtime watchdogs.
 
-    `progress(done, total)` streams per-chunk completed-restart counts
-    (requires `chunk_iters`: an unchunked fit is one device dispatch with
-    nothing observable until it returns).
+    `compact_schedule` is the 2-phase straggler fit: a vmapped while_loop
+    runs every lane until the SLOWEST converges, so at reference-default
+    scale (R=1000, run_mmctm.jl:52) the max-iteration tail (~3x the median
+    on BRCA) dominates device work. `compact_schedule=(c1, c2, ...)` runs
+    all lanes c1 iterations, compacts converged lanes out on device, runs
+    c2 more, ... and finishes survivors unbounded once the schedule is
+    exhausted. Results are bit-identical to the single-dispatch fit; each
+    boundary costs one host round-trip. Mutually exclusive with
+    `chunk_iters` (which compacts at a fixed cadence for watchdog bounds).
+
+    `progress(done, total)` streams per-round completed-restart counts
+    (requires `chunk_iters` or `compact_schedule`: an unchunked fit is one
+    device dispatch with nothing observable until it returns).
     """
-    if chunk_iters is None:
+    if chunk_iters is not None and compact_schedule is not None:
+        raise ValueError("chunk_iters and compact_schedule are mutually exclusive")
+    if chunk_iters is None and compact_schedule is None:
         return fit_restarts_from_keys(
             jax.random.split(key, restarts), X, config, alpha,
             maxiter=maxiter, tol=tol, init_method=init_method,
@@ -179,17 +194,29 @@ def fit_restarts(
     X = tuple(X)
     keys = jax.random.split(key, restarts)
     carries = _init_carries(keys, X, config, alpha, maxiter, init_method)
+    schedule = (
+        tuple(compact_schedule)
+        if compact_schedule is not None
+        else _repeat_forever(chunk_iters)
+    )
     final = _chunked_drive(
         carries,
-        lambda c: _advance_carries(c, X, config, maxiter, tol, chunk_iters),
+        lambda c, b: _advance_carries(c, X, config, maxiter, tol, b),
         maxiter,
         restarts,
         progress=progress,
+        schedule=schedule,
     )
     return _finalize_carries(final, X, config)
 
 
-def _chunked_drive(carries, advance, maxiter, restarts, progress=None):
+def _repeat_forever(x):
+    while True:
+        yield x
+
+
+def _chunked_drive(carries, advance, maxiter, restarts, progress=None,
+                   schedule=None):
     """Host loop with LANE COMPACTION over a batched CAVI carry.
 
     A vmapped while_loop computes every lane until the slowest lane
@@ -199,6 +226,15 @@ def _chunked_drive(carries, advance, maxiter, restarts, progress=None):
     (padding by duplicating lane 0 — duplicates compute identical
     trajectories, so their results overwrite harmlessly). Total work drops
     from R x slowest to roughly the sum of per-lane iterations.
+
+    `advance(carries, budget)` advances every lane by up to `budget`
+    iterations (None = until per-lane termination). `schedule` yields the
+    budget for each successive round; when exhausted, rounds run unbounded.
+    A watchdog-bounded fit passes an endless repeat(chunk_iters); the
+    2-phase straggler fit passes e.g. (160,) — run everyone to ~p75 of the
+    iteration distribution, compact once, let survivors run to completion
+    (each round boundary costs a host round-trip, so fewer, well-placed
+    boundaries beat many small ones on remote-attached accelerators).
 
     Everything stays ON DEVICE: the only host transfers are the tiny
     (iteration, converged) vectors that drive compaction, and finished-lane
@@ -213,11 +249,12 @@ def _chunked_drive(carries, advance, maxiter, restarts, progress=None):
     progress bar over its pmap (run_mmctm.jl:101-104), which a single
     compiled dispatch cannot stream but the chunk boundary gives for free.
     """
+    budgets = iter(schedule) if schedule is not None else iter(())
     order = np.arange(restarts)
     done_groups = []   # device pytrees, each a batch of finished lanes
     done_orders = []   # their original restart indices
     while True:
-        carries = advance(carries)
+        carries = advance(carries, next(budgets, None))
         it = np.asarray(carries[2])
         done = np.asarray(carries[3]) | (it >= maxiter)
         done_pos = np.nonzero(done)[0]
@@ -299,6 +336,7 @@ def two_stage_fit(
     stage2_tol: float = 1e-5,
     init_method: str = "random",
     chunk_iters: int = None,
+    compact_schedule: Optional[Sequence[int]] = None,
     progress=None,
 ):
     """The CLI's full two-stage protocol (run_mmctm.jl:163-180). Returns
@@ -308,6 +346,9 @@ def two_stage_fit(
     With `chunk_iters` set, both stages run as host-chunked resumable fits
     (bounded device executions — see fit_restarts), and `progress(stage,
     done, total)` streams per-chunk completion counts (stage is 1 or 2).
+    `compact_schedule` enables the 2-phase straggler fit for stage 1 (see
+    fit_restarts; stage 2 is `stage2_restarts` lanes — 1 by default — and
+    has no straggler problem to compact away).
     """
     X = tuple(X)
     k1, k2 = jax.random.split(key)
@@ -315,7 +356,7 @@ def two_stage_fit(
     stage1 = fit_restarts(
         key=k1, X=X, config=config, alpha=alpha, restarts=restarts,
         maxiter=maxiter, tol=stage1_tol, init_method=init_method,
-        chunk_iters=chunk_iters,
+        chunk_iters=chunk_iters, compact_schedule=compact_schedule,
         progress=None if progress is None else partial(progress, 1),
     )
     best_m = pick_optimal_modality_restarts(stage1.ll)  # (M,)
@@ -349,10 +390,11 @@ def two_stage_fit(
         carries = (state,) + carries[1:]
         final = _chunked_drive(
             carries,
-            lambda c: _advance_carries(c, X, config, maxiter, stage2_tol, chunk_iters),
+            lambda c, b: _advance_carries(c, X, config, maxiter, stage2_tol, b),
             maxiter,
             stage2_restarts,
             progress=None if progress is None else partial(progress, 2),
+            schedule=_repeat_forever(chunk_iters),
         )
         stage2 = _finalize_carries(final, X, config)
     best = pick_optimal_restart(stage2.ll)
@@ -373,6 +415,7 @@ def fit_mmctm_restarts(
     dtype=None,
     verbose: bool = False,
     chunk_iters: Optional[int] = None,
+    compact_schedule: Optional[Sequence[int]] = None,
     progress=None,
 ) -> MMCTM:
     """High-level entry mirroring the CLI's `fit_model` (run_mmctm.jl:163-180):
@@ -398,6 +441,7 @@ def fit_mmctm_restarts(
         stage1_tol=stage1_tol,
         stage2_tol=stage2_tol,
         chunk_iters=chunk_iters,
+        compact_schedule=compact_schedule,
         progress=progress,
     )
     if verbose:
@@ -442,13 +486,16 @@ def _scalar_metric_chunked(init_one, step, finalize_one, keys, maxiter, tol,
 
         return jax.vmap(one)(keys)
 
-    @jax.jit
-    def advance(carries):
+    @partial(jax.jit, static_argnames=("b",))
+    def advance(carries, b):
         return jax.vmap(
-            lambda c: run_cavi_from(c, maxiter, tol, step, max_new_iters=chunk_iters)
+            lambda c: run_cavi_from(c, maxiter, tol, step, max_new_iters=b)
         )(carries)
 
-    final = _chunked_drive(init_c(keys), advance, maxiter, restarts)
+    final = _chunked_drive(
+        init_c(keys), advance, maxiter, restarts,
+        schedule=_repeat_forever(chunk_iters),
+    )
     return jax.jit(jax.vmap(finalize_one))(final)
 
 
@@ -598,10 +645,10 @@ def fit_immctm_restarts(
 
         step = immctm_mod.fit_step_fn(Xd, N, F, cfg)
 
-        @jax.jit
-        def advance(carries):
+        @partial(jax.jit, static_argnames=("b",))
+        def advance(carries, b):
             return jax.vmap(
-                lambda c: run_cavi_from(c, maxiter, tol, step, max_new_iters=chunk_iters)
+                lambda c: run_cavi_from(c, maxiter, tol, step, max_new_iters=b)
             )(carries)
 
         @jax.jit
@@ -617,7 +664,10 @@ def fit_immctm_restarts(
                 )
             )(carries)
 
-        final = _chunked_drive(init_c(keys), advance, maxiter, restarts)
+        final = _chunked_drive(
+            init_c(keys), advance, maxiter, restarts,
+            schedule=_repeat_forever(chunk_iters),
+        )
         result = finalize(final)
 
     best = int(pick_optimal_restart(result.ll))

@@ -487,3 +487,168 @@ def oracle_fit(X, K, alpha, gamma_init, n_iters, update_sigma=True,
         elbo_hist[it], _ = oracle_elbo(s, theta, X, K, off)
 
     return s, ll_hist, elbo_hist, theta
+
+
+# ---------------------------------------------------------------------------
+# Inference-path oracles (transform / fit_heldout / predict_modality_eta):
+# literal per-document loops with machine-precision inner solves, mirroring
+# src/MMCTM.jl:511-552 (transform), :554-586 (fit_heldout) and :588-634
+# (predict_modality_η). These paths carry the most documented divergences
+# (frozen-ϕ likelihood, sliced-full-inverse conditioning), so they get the
+# same independent end-to-end verification as fit.
+# ---------------------------------------------------------------------------
+
+
+def _phi_point(gamma):
+    return [g / g.sum(axis=1, keepdims=True) for g in gamma]
+
+
+def _theta_doc_logw(lam_d, logw, K, off):
+    """θ[m][v, k] ∝ exp(λ_dk + logw_m[v, k]) for arbitrary log-weights."""
+    out = []
+    for m in range(len(K)):
+        logits = lam_d[off[m]: off[m] + K[m]][None, :] + logw[m]
+        e = np.exp(logits - logits.max(axis=1, keepdims=True))
+        out.append(e / e.sum(axis=1, keepdims=True))
+    return out
+
+
+def _estep_sweep(s, X, K, off, logw):
+    """One E-step over all docs: ζ → θ (given log-weights) → ν → λ
+    (src/MMCTM.jl:450-455 without the M-step). Returns θ."""
+    M = len(K)
+    MK = sum(K)
+    D = X[0].shape[0]
+    N = np.array([[X[m][d].sum() for m in range(M)] for d in range(D)])
+    theta = []
+    for d in range(D):
+        e = np.exp(s["lam"][d] + 0.5 * s["nu"][d])
+        for m in range(M):
+            s["zeta"][d, m] = e[off[m]: off[m] + K[m]].sum()
+        th = _theta_doc_logw(s["lam"][d], logw, K, off)
+        theta.append(th)
+        Ndivzeta = np.empty(MK)
+        sumtheta = np.empty(MK)
+        for m in range(M):
+            blk = slice(off[m], off[m] + K[m])
+            Ndivzeta[blk] = N[d, m] / s["zeta"][d, m]
+            sumtheta[blk] = X[m][d] @ th[m]
+        s["nu"][d] = solve_nu_exact(
+            s["nu"][d], s["lam"][d], Ndivzeta, np.diag(s["invSigma"])
+        )
+        s["lam"][d] = solve_lambda_exact(
+            s["lam"][d], s["nu"][d], Ndivzeta, sumtheta, s["mu"], s["invSigma"]
+        )
+    return theta
+
+
+def _fresh_docside(Xnew, K):
+    M = len(K)
+    MK = sum(K)
+    D = Xnew[0].shape[0]
+    off = _offsets(K)
+    lam = np.zeros((D, MK))
+    nu = np.ones((D, MK))
+    zeta = np.empty((D, M))
+    e = np.exp(lam + 0.5 * nu)
+    for m in range(M):
+        zeta[:, m] = e[:, off[m]: off[m] + K[m]].sum(axis=1)
+    return lam, nu, zeta
+
+
+def oracle_transform(Xnew, trained, K, n_iters, fit_gaussian=False):
+    """Fold-in of new documents against the trained point estimate ϕ
+    (src/MMCTM.jl:511-552): fresh doc-side state, θ from unsmoothed log ϕ
+    (not E[ln ϕ]); μ/Σ frozen from the trained model unless fit_gaussian.
+    Returns (state, ll_history (n_iters, M))."""
+    M = len(K)
+    MK = sum(K)
+    off = _offsets(K)
+    D = Xnew[0].shape[0]
+    lam, nu, zeta = _fresh_docside(Xnew, K)
+    # μ/Σ copy from the trained model ONLY when not fit_gaussian
+    # (src/MMCTM.jl:515-520); with fit_gaussian the sub-model keeps its
+    # fresh init (μ=0, Σ=I) and refits them every iteration.
+    if fit_gaussian:
+        mu, Sigma, invSigma = np.zeros(MK), np.eye(MK), np.eye(MK)
+    else:
+        mu = trained["mu"].copy()
+        Sigma = trained["Sigma"].copy()
+        invSigma = np.linalg.inv(trained["Sigma"])
+    s = dict(
+        mu=mu, Sigma=Sigma, invSigma=invSigma,
+        gamma=[g.copy() for g in trained["gamma"]],
+        lam=lam, nu=nu, zeta=zeta,
+    )
+    phi = _phi_point(trained["gamma"])
+    logw = [
+        np.where(p.T > 0, np.log(np.where(p.T > 0, p.T, 1.0)), -np.inf)
+        for p in phi
+    ]  # (V_m, K_m)
+    ll_hist = np.empty((n_iters, M))
+    for it in range(n_iters):
+        _estep_sweep(s, Xnew, K, off, logw)
+        if fit_gaussian:
+            s["mu"] = s["lam"].mean(axis=0)
+            E = s["lam"] - s["mu"]
+            s["Sigma"] = (np.diag(s["nu"].sum(axis=0)) + E.T @ E) / D
+            s["invSigma"] = np.linalg.inv(s["Sigma"])
+        ll_hist[it] = oracle_loglikelihoods(Xnew, s["lam"], trained["gamma"], K, off)
+    return s, ll_hist
+
+
+def oracle_fit_heldout(Xh, trained, K, n_iters):
+    """Doc-side-only refit with the full copied global posterior and
+    SMOOTHED θ updates via the trained E[ln ϕ] (src/MMCTM.jl:554-586).
+    Returns (state, ll_history)."""
+    M = len(K)
+    off = _offsets(K)
+    lam, nu, zeta = _fresh_docside(Xh, K)
+    s = dict(
+        mu=trained["mu"].copy(),
+        Sigma=trained["Sigma"].copy(),
+        invSigma=trained["invSigma"].copy(),
+        gamma=[g.copy() for g in trained["gamma"]],
+        lam=lam, nu=nu, zeta=zeta,
+    )
+    Eln = _Eln(trained["gamma"])
+    logw = [e.T for e in Eln]  # (V_m, K_m)
+    ll_hist = np.empty((n_iters, M))
+    for it in range(n_iters):
+        _estep_sweep(s, Xh, K, off, logw)
+        ll_hist[it] = oracle_loglikelihoods(Xh, s["lam"], trained["gamma"], K, off)
+    return s, ll_hist
+
+
+def oracle_predict_eta(Xobs, m, trained, K, n_iters):
+    """Cross-modality imputation (src/MMCTM.jl:588-634): fit the observed
+    modalities' document posteriors doc-side only (smoothed θ, sub-model
+    globals SLICED from the full model — including invΣ_oo as the [obs,obs]
+    block of the FULL inverse, the reference's estimator), then
+    η = μ_u + Σ_uo · invΣ_oo · (λ_d − μ_o). `m` is 0-based here.
+    Returns (eta (D, K[m]), obs_state, ll_history)."""
+    MK = sum(K)
+    off = _offsets(K)
+    unobs = np.arange(off[m], off[m] + K[m])
+    obs = np.setdiff1d(np.arange(MK), unobs)
+    obsM = [i for i in range(len(K)) if i != m]
+    K_obs = [K[i] for i in obsM]
+    off_obs = _offsets(K_obs)
+
+    lam, nu, zeta = _fresh_docside(Xobs, K_obs)
+    s = dict(
+        mu=trained["mu"][obs].copy(),
+        Sigma=trained["Sigma"][np.ix_(obs, obs)].copy(),
+        invSigma=trained["invSigma"][np.ix_(obs, obs)].copy(),
+        gamma=[trained["gamma"][i].copy() for i in obsM],
+        lam=lam, nu=nu, zeta=zeta,
+    )
+    Eln = _Eln(s["gamma"])
+    logw = [e.T for e in Eln]
+    ll_hist = np.empty((n_iters, len(K_obs)))
+    for it in range(n_iters):
+        _estep_sweep(s, Xobs, K_obs, off_obs, logw)
+        ll_hist[it] = oracle_loglikelihoods(Xobs, s["lam"], s["gamma"], K_obs, off_obs)
+    A = trained["Sigma"][np.ix_(unobs, obs)] @ trained["invSigma"][np.ix_(obs, obs)]
+    eta = trained["mu"][unobs][None, :] + (s["lam"] - trained["mu"][obs][None, :]) @ A.T
+    return eta, s, ll_hist

@@ -315,3 +315,132 @@ class TestSolverExactness:
         for b in range(B):
             want = solve_nu_exact(nu0[b], lam[b], Ndivzeta[b], diag)
             np.testing.assert_allclose(got[b], want, rtol=1e-10)
+
+
+class TestInferencePathTrajectories:
+    """Multi-iteration parity for the inference paths — transform
+    (src/MMCTM.jl:511-552), fit_heldout (:554-586) and predict_modality_η
+    (:588-634) — against the independent per-document oracles. These are
+    the paths with the most documented divergences (frozen-ϕ likelihood,
+    sliced-full-inverse conditioning), so single-update tests alone are not
+    enough. Both sides start from IDENTICAL trained globals (the oracle
+    fit's), isolating inference-path parity from fit parity."""
+
+    def _trained(self, rng, K=(3, 2), D=6, V=(7, 5), n_fit=8):
+        from scipy.special import digamma as sp_digamma
+
+        Xnp = [
+            rng.integers(0, 9, size=(D, V[m])).astype(np.float64)
+            for m in range(len(K))
+        ]
+        config = MMCTMConfig(K=tuple(K), V=tuple(V), D=D, dtype=jnp.float64)
+        X = tuple(jnp.asarray(x) for x in Xnp)
+        state0 = init_with_alpha(jax.random.key(11), config, X, [0.1, 0.1])
+        gamma_init = [np.asarray(g) for g in state0.gamma]
+        s, _, _, _ = oracle_fit(Xnp, list(K), [0.1, 0.1], gamma_init, n_fit)
+        # identical trained globals on the JAX side
+        Elnphi = tuple(
+            jnp.asarray(sp_digamma(g) - sp_digamma(g.sum(axis=1, keepdims=True)))
+            for g in s["gamma"]
+        )
+        trained_state = state0._replace(
+            mu=jnp.asarray(s["mu"]),
+            Sigma=jnp.asarray(s["Sigma"]),
+            invSigma=jnp.asarray(s["invSigma"]),
+            gamma=tuple(jnp.asarray(g) for g in s["gamma"]),
+            Elnphi=Elnphi,
+        )
+        return Xnp, config, s, trained_state
+
+    def _new_docs(self, rng, K, V, Dnew):
+        return [
+            rng.integers(0, 9, size=(Dnew, V[m])).astype(np.float64)
+            for m in range(len(K))
+        ]
+
+    @pytest.mark.parametrize("fit_gaussian", [False, True])
+    def test_transform_trajectory(self, rng, fit_gaussian):
+        from oracle_mmctm import oracle_transform
+
+        K, V, Dnew, n = (3, 2), (7, 5), 4, 8
+        Xnp, config, s, trained_state = self._trained(rng, K=K, V=V)
+        Xnew_np = self._new_docs(rng, K, V, Dnew)
+        cfg_new = dataclasses.replace(config, D=Dnew)
+        Xnew = tuple(jnp.asarray(x) for x in Xnew_np)
+        fresh = init_with_alpha(jax.random.key(5), cfg_new, Xnew, [0.1, 0.1])
+        result = jax.jit(
+            mod.transform_states,
+            static_argnames=("config", "maxiter", "tol", "fit_gaussian"),
+        )(trained_state, fresh, Xnew, cfg_new, maxiter=n, tol=0.0,
+          fit_gaussian=fit_gaussian)
+        so, ll_hist = oracle_transform(
+            Xnew_np, s, list(K), n, fit_gaussian=fit_gaussian
+        )
+        np.testing.assert_allclose(
+            np.asarray(result.ll_history[:n], np.float64), ll_hist, rtol=1e-8
+        )
+        np.testing.assert_allclose(
+            np.asarray(result.state.lam), so["lam"], rtol=1e-7, atol=1e-10
+        )
+        np.testing.assert_allclose(np.asarray(result.state.nu), so["nu"], rtol=1e-7)
+        if fit_gaussian:
+            np.testing.assert_allclose(np.asarray(result.state.mu), so["mu"], rtol=1e-7)
+            np.testing.assert_allclose(
+                np.asarray(result.state.Sigma), so["Sigma"], rtol=1e-6, atol=1e-12
+            )
+        else:
+            # Σ preservation (test/mmctm.jl:390-404)
+            np.testing.assert_allclose(
+                np.asarray(result.state.Sigma), s["Sigma"], rtol=1e-12
+            )
+
+    def test_fit_heldout_trajectory(self, rng):
+        from oracle_mmctm import oracle_fit_heldout
+
+        K, V, Dnew, n = (3, 2), (7, 5), 4, 8
+        Xnp, config, s, trained_state = self._trained(rng, K=K, V=V)
+        Xh_np = self._new_docs(rng, K, V, Dnew)
+        cfg_new = dataclasses.replace(config, D=Dnew)
+        Xh = tuple(jnp.asarray(x) for x in Xh_np)
+        fresh = init_with_alpha(jax.random.key(6), cfg_new, Xh, [0.1, 0.1])
+        result = jax.jit(
+            mod.fit_heldout_states,
+            static_argnames=("config", "maxiter", "tol"),
+        )(trained_state, fresh, Xh, cfg_new, maxiter=n, tol=0.0)
+        so, ll_hist = oracle_fit_heldout(Xh_np, s, list(K), n)
+        np.testing.assert_allclose(
+            np.asarray(result.ll_history[:n], np.float64), ll_hist, rtol=1e-8
+        )
+        np.testing.assert_allclose(
+            np.asarray(result.state.lam), so["lam"], rtol=1e-7, atol=1e-10
+        )
+        np.testing.assert_allclose(np.asarray(result.state.nu), so["nu"], rtol=1e-7)
+        # globals untouched (src/MMCTM.jl:554-586 never updates them)
+        np.testing.assert_allclose(np.asarray(result.state.Sigma), s["Sigma"], rtol=1e-12)
+        np.testing.assert_allclose(np.asarray(result.state.mu), s["mu"], rtol=1e-12)
+
+    @pytest.mark.parametrize("m", [0, 1])
+    def test_predict_modality_eta_trajectory(self, rng, m):
+        from oracle_mmctm import oracle_predict_eta
+
+        K, V, Dnew, n = (3, 2), (7, 5), 4, 8
+        Xnp, config, s, trained_state = self._trained(rng, K=K, V=V)
+        obsM = [i for i in range(len(K)) if i != m]
+        Xobs_np = [
+            rng.integers(0, 9, size=(Dnew, V[i])).astype(np.float64) for i in obsM
+        ]
+        obs_config = MMCTMConfig(
+            K=tuple(K[i] for i in obsM), V=tuple(V[i] for i in obsM),
+            D=Dnew, dtype=jnp.float64,
+        )
+        Xobs = tuple(jnp.asarray(x) for x in Xobs_np)
+        fresh = init_with_alpha(jax.random.key(7), obs_config, Xobs, [0.1])
+        eta, obs_state, _ = jax.jit(
+            mod.predict_modality_eta_states,
+            static_argnames=("m", "config", "obs_config", "maxiter", "tol"),
+        )(trained_state, fresh, Xobs, m, config, obs_config, maxiter=n, tol=0.0)
+        eta_o, so, _ = oracle_predict_eta(Xobs_np, m, s, list(K), n)
+        np.testing.assert_allclose(
+            np.asarray(obs_state.lam), so["lam"], rtol=1e-7, atol=1e-10
+        )
+        np.testing.assert_allclose(np.asarray(eta), eta_o, rtol=1e-7, atol=1e-10)
