@@ -50,6 +50,13 @@ class CTMBaseConfig:
     # editing solver code; they thread through solve_eta → solve_lambda.
     lambda_n_iter: Any = None
     lambda_cg_iter: Any = None
+    # Fused-λ-kernel override: None = auto (MUSIG_PALLAS / backend gate in
+    # _use_fused_lambda), True/False = force. Static (part of the jit cache
+    # key), so a per-trace decision is explicit rather than ambient — the
+    # shard_map restart wrapper (parallel/sharding.py) uses True to keep the
+    # per-device Pallas kernel on multi-chip meshes, where the auto gate must
+    # step aside (GSPMD cannot partition a pallas_call).
+    force_fused: Any = None
 
     @property
     def M(self) -> int:
@@ -110,8 +117,12 @@ def solve_nu(nu, lam, Ndivzeta, invSigma, n_iter=None):
     return maximize_nu(nu, lam, Ndivzeta, jnp.diagonal(invSigma)[None, :], **kw)
 
 
-def _use_fused_lambda() -> bool:
+def _use_fused_lambda(force=None) -> bool:
     """Gate for the fused Pallas λ kernel (ops/pallas/lambda_kernel.py).
+
+    `force` (from CTMBaseConfig.force_fused) short-circuits the auto logic:
+    True inside per-device shard_map bodies (local shapes, kernel legal),
+    False to pin the XLA path.
 
     Default (`MUSIG_PALLAS` unset or `auto`): on exactly when the default
     backend is a TPU — measured 1.17x end-to-end on the 100-restart BRCA
@@ -126,6 +137,8 @@ def _use_fused_lambda() -> bool:
     """
     from ..ops import flags
 
+    if force is not None:
+        return bool(force)
     if flags.PALLAS in ("0", "1"):
         return flags.PALLAS == "1"
     try:
@@ -139,7 +152,7 @@ def _use_fused_lambda() -> bool:
 
 
 def solve_lambda(lam, nu, Ndivzeta, sumtheta, mu, invSigma,
-                 n_iter=None, cg_iter=None):
+                 n_iter=None, cg_iter=None, force_fused=None):
     """Batched λ maximization (replaces NLopt at src/MMCTM.jl:127-143).
 
     `n_iter`/`cg_iter` override the solver's measured defaults (7 Newton
@@ -150,7 +163,7 @@ def solve_lambda(lam, nu, Ndivzeta, sumtheta, mu, invSigma,
         kw["n_iter"] = int(n_iter)
     if cg_iter is not None:
         kw["cg_iter"] = int(cg_iter)
-    if _use_fused_lambda() and lam.shape[-1] <= 128:
+    if _use_fused_lambda(force_fused) and lam.shape[-1] <= 128:
         from ..ops.pallas.lambda_kernel import maximize_lambda_fused
 
         return maximize_lambda_fused(lam, nu, Ndivzeta, sumtheta, mu, invSigma, **kw)
@@ -177,14 +190,19 @@ def solve_eta(lam, nu, N, sumtheta, mu, invSigma, config):
         kw["n_iter"] = int(config.lambda_n_iter)
     if config.lambda_cg_iter is not None:
         kw["cg_iter"] = int(config.lambda_cg_iter)
-    if flags.PALLAS_ESTEP and _use_fused_lambda() and config.MK <= 128:
+    if (
+        flags.PALLAS_ESTEP
+        and _use_fused_lambda(config.force_fused)
+        and config.MK <= 128
+    ):
         from ..ops.pallas.lambda_kernel import estep_eta_fused
 
         return estep_eta_fused(lam, nu, N, sumtheta, mu, invSigma, config.K, **kw)
     zeta = update_zeta(lam, nu, config)
     Ndivzeta = calculate_Ndivzeta(N, zeta, config)
     nu2 = maximize_nu(nu, lam, Ndivzeta, jnp.diagonal(invSigma)[None, :])
-    lam2 = solve_lambda(lam, nu2, Ndivzeta, sumtheta, mu, invSigma, **kw)
+    lam2 = solve_lambda(lam, nu2, Ndivzeta, sumtheta, mu, invSigma,
+                        force_fused=config.force_fused, **kw)
     return zeta, nu2, lam2
 
 

@@ -467,7 +467,7 @@ def _use_theta_moments(X, config) -> bool:
 
     return (
         flags.PALLAS_THETA
-        and _use_fused_lambda()
+        and _use_fused_lambda(config.force_fused)
         and all(int(x.shape[-1]) <= 128 for x in X)
         and all(k <= 128 for k in config.K)
     )

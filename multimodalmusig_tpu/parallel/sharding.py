@@ -19,6 +19,7 @@ chooses the collectives; no hand-written communication.
 
 from __future__ import annotations
 
+from functools import partial
 from typing import Optional, Sequence
 
 import jax
@@ -30,7 +31,13 @@ from ..models import mmctm as mmctm_mod
 from ..models.mmctm import MMCTMConfig, init_with_alpha
 from . import restarts as restarts_mod
 
-__all__ = ["make_mesh", "sharded_fit_restarts", "sharded_data_parallel_fit", "dryrun_multichip"]
+__all__ = [
+    "make_mesh",
+    "sharded_fit_restarts",
+    "shmap_fit_restarts",
+    "sharded_data_parallel_fit",
+    "dryrun_multichip",
+]
 
 
 def make_mesh(
@@ -67,6 +74,77 @@ def sharded_fit_restarts(
     return restarts_mod.fit_restarts_from_keys(
         keys, X, config, alpha, maxiter=maxiter, tol=tol
     )
+
+
+def shmap_fit_restarts(
+    key: jax.Array,
+    X,
+    config: MMCTMConfig,
+    alpha: jnp.ndarray,
+    restarts: int,
+    maxiter: int = 1000,
+    tol: float = 1e-4,
+    init_method: str = "random",
+    devices: Optional[Sequence] = None,
+    use_fused: Optional[bool] = None,
+):
+    """Restart fan-out as an explicit per-device program: shard_map over a
+    flat "restart" mesh, data replicated, zero collectives.
+
+    This is the multi-chip path that KEEPS the fused Pallas λ kernel: GSPMD
+    cannot partition a `pallas_call`, so the GSPMD route
+    (sharded_fit_restarts) must drop to the XLA solver on >1 device — but
+    restart fitting is embarrassingly parallel (the reference's only fan-out,
+    run_mmctm.jl:99-111, shares nothing between workers), so each device can
+    simply run the unpartitioned single-device program on its slice of lanes.
+    Inside the shard_map body shapes are per-device, the kernel is legal, and
+    `config.force_fused=True` (static) turns it on explicitly.
+
+    `use_fused`: None = auto (kernel exactly when the backend is TPU);
+    True/False forces. Lanes pad to a multiple of the device count with
+    duplicate keys (deduplicated on return).
+    """
+    import dataclasses
+
+    from jax import shard_map
+
+    devs = list(devices) if devices is not None else jax.devices()
+    n = len(devs)
+    mesh = Mesh(np.asarray(devs), axis_names=("restart",))
+    if use_fused is None:
+        use_fused = devs[0].platform == "tpu"
+    cfg = dataclasses.replace(config, force_fused=bool(use_fused))
+
+    R_pad = ((restarts + n - 1) // n) * n
+    keys = jax.random.split(key, restarts)
+    keys = jnp.concatenate([keys, keys[: R_pad - restarts]], axis=0)
+    X = tuple(X)
+
+    @partial(jax.jit, static_argnames=())
+    def run(keys, alpha, *X):
+        def local(keys_l, alpha_l, *X_l):
+            def one(k):
+                state = init_with_alpha(k, cfg, X_l, alpha_l, init_method)
+                return mmctm_mod.fit(state, X_l, cfg, maxiter=maxiter, tol=tol)
+
+            return jax.vmap(one)(keys_l)
+
+        # check_vma off: replicated inputs (X, alpha) feed loop carries that
+        # become restart-varying, which the automatic varying-axes check
+        # rejects; lanes are fully independent and every output is varying
+        # over "restart", so the check has nothing to protect here.
+        return shard_map(
+            local,
+            mesh=mesh,
+            in_specs=(P("restart"), P()) + tuple(P() for _ in X),
+            out_specs=P("restart"),
+            check_vma=False,
+        )(keys, alpha, *X)
+
+    result = run(keys, alpha, *X)
+    if R_pad != restarts:
+        result = jax.tree_util.tree_map(lambda x: x[:restarts], result)
+    return result
 
 
 def sharded_data_parallel_fit(
@@ -159,6 +237,14 @@ def dryrun_multichip(n_devices: int) -> None:
     ll = np.asarray(result.ll)
     assert ll.shape == (R, 2), ll.shape
     assert np.all(np.isfinite(ll)), ll
+
+    # explicit per-device restart fan-out (the multi-chip path that keeps
+    # the fused λ kernel; XLA solver here — no TPU in the dryrun)
+    result_sm = shmap_fit_restarts(
+        jax.random.key(0), X, config, alpha, restarts=R, maxiter=1,
+        devices=devices, use_fused=False,
+    )
+    assert np.all(np.isfinite(np.asarray(result_sm.ll)))
 
     # data-parallel single fit over the full mesh
     state = init_with_alpha(jax.random.key(1), config, X, alpha)
