@@ -45,6 +45,15 @@ PROBE_TIMEOUT = 180.0
 PROXY_ITERS = 2
 METRIC = "mmctm_restarts_per_sec_brca_tol1e-5"
 
+# The reference CLI's default scale (run_mmctm.jl:52) is also measured on
+# accelerators, with the 2-phase straggler compaction: run all 1000 lanes to
+# just past p75 of the iteration distribution (190), compact converged lanes
+# out on device, run survivors 80 more (past p95), compact again, finish.
+# Measured on the v5e chip (tools/r1000_two_phase.py): 9.41 s = 106 restarts/s
+# vs 14.48 s = 69/s unchunked; (185,) and (233,) both ~10.0 s.
+R1000 = 1000
+R1000_SCHEDULE = (190, 80)
+
 
 def load_counts_np():
     """(D,V) float32 numpy count matrices for SNV+SV (no JAX touched)."""
@@ -69,7 +78,7 @@ def _pinned_proxy_floor():
                                "BASELINE.json")) as f:
             return float(json.load(f)["pinned_proxy"]["floor_s_per_iter"])
     except Exception:
-        return 7.7
+        return 7.0
 
 
 def measure_proxy_iteration_seconds(Xnp, iters=PROXY_ITERS):
@@ -105,6 +114,36 @@ def measure_proxy_iteration_seconds(Xnp, iters=PROXY_ITERS):
     for _ in range(iters):
         state = proxy_iteration(X, K, state)
     return (time.perf_counter() - t0) / iters
+
+
+def run_r1000(X, config, alpha):
+    """R=1000 (the reference CLI default) with 2-phase compaction; returns
+    extra JSON fields, or a note string on failure (never raises)."""
+    import time as _time
+
+    import jax
+    import numpy as np
+
+    from multimodalmusig_tpu.parallel.restarts import fit_restarts
+
+    try:
+        key = jax.random.key(147959412)
+        kwargs = dict(
+            restarts=R1000, maxiter=MAXITER, tol=TOL,
+            compact_schedule=R1000_SCHEDULE,
+        )
+        np.asarray(fit_restarts(key, X, config, alpha, **kwargs).ll)  # warm
+        t0 = _time.perf_counter()
+        result = fit_restarts(key, X, config, alpha, **kwargs)
+        ll = np.asarray(result.ll)
+        t = _time.perf_counter() - t0
+        return {
+            "r1000_restarts_per_sec": round(R1000 / t, 2),
+            "r1000_wall_s": round(t, 3),
+            "r1000_finite_lanes": int(np.isfinite(ll).all(axis=1).sum()),
+        }
+    except Exception as e:  # never let the extra metric kill the main one
+        return {"r1000_note": f"FAILED: {type(e).__name__}: {e}"}
 
 
 def run_benchmark(restarts, note=None):
@@ -165,6 +204,8 @@ def run_benchmark(restarts, note=None):
     }
     if note:
         out["note"] = note
+    if restarts == RESTARTS:  # accelerator run: also measure the R=1000 scale
+        out.update(run_r1000(X, config, alpha))
     diag = (
         f"platform={jax.devices()[0].platform} restarts={restarts} "
         f"t_accel={t_accel:.2f}s iters_median={median_iters} "

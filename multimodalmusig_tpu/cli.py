@@ -73,6 +73,14 @@ def build_parser() -> argparse.ArgumentParser:
         "on remote-attached accelerators)",
     )
     p.add_argument(
+        "--compact-at", type=int, nargs="+", default=None, metavar="ITER",
+        help="2-phase straggler compaction for stage 1: run every restart "
+        "the given iteration budget(s), compact converged lanes out on "
+        "device after each, then finish survivors unbounded. At large "
+        "--restarts this avoids paying the slowest lane's iteration count "
+        "on every lane. Mutually exclusive with --chunk-iters.",
+    )
+    p.add_argument(
         "--platform", choices=("auto", "cpu", "default"), default="auto",
         help="accelerator selection: 'auto' probes the default backend with "
         "a bounded deadline and falls back to CPU if it is unreachable (a "
@@ -148,7 +156,7 @@ def main(argv=None) -> int:
     # is nothing to stream until it returns (say so instead of silence).
     progress = None
     if args.progress:
-        if args.chunk_iters:
+        if args.chunk_iters or args.compact_at:
             def progress(stage, done, total):
                 print(
                     f"run-mmctm: stage {stage}: {done}/{total} restarts "
@@ -157,9 +165,9 @@ def main(argv=None) -> int:
                 )
         else:
             print(
-                "run-mmctm: --progress needs --chunk-iters; the unchunked "
-                "fit runs each stage as a single compiled dispatch with no "
-                "observable intermediate state",
+                "run-mmctm: --progress needs --chunk-iters or --compact-at; "
+                "the unchunked fit runs each stage as a single compiled "
+                "dispatch with no observable intermediate state",
                 file=sys.stderr,
             )
 
@@ -174,6 +182,7 @@ def main(argv=None) -> int:
         seed=args.seed,
         verbose=args.verbose,
         chunk_iters=args.chunk_iters or None,
+        compact_schedule=tuple(args.compact_at) if args.compact_at else None,
         progress=progress,
     )
     if args.verbose:
