@@ -470,8 +470,18 @@ def fit_mmctm_restarts(
 # ---------------------------------------------------------------------------
 
 
+def _resolve_schedule(chunk_iters, compact_schedule):
+    """Map the two mutually-exclusive compaction modes onto a budget
+    iterator for _chunked_drive (None = run unbounded from then on)."""
+    if chunk_iters is not None and compact_schedule is not None:
+        raise ValueError("chunk_iters and compact_schedule are mutually exclusive")
+    if chunk_iters is not None:
+        return _repeat_forever(chunk_iters)
+    return tuple(compact_schedule)
+
+
 def _scalar_metric_chunked(init_one, step, finalize_one, keys, maxiter, tol,
-                           chunk_iters, restarts, dtype):
+                           schedule, restarts, dtype):
     """Chunked best-of-N driver for the scalar-ll models (LDA/ILDA)."""
 
     @jax.jit
@@ -493,8 +503,7 @@ def _scalar_metric_chunked(init_one, step, finalize_one, keys, maxiter, tol,
         )(carries)
 
     final = _chunked_drive(
-        init_c(keys), advance, maxiter, restarts,
-        schedule=_repeat_forever(chunk_iters),
+        init_c(keys), advance, maxiter, restarts, schedule=schedule
     )
     return jax.jit(jax.vmap(finalize_one))(final)
 
@@ -503,9 +512,11 @@ def fit_lda_restarts(
     k, alpha, eta, X, V=None, restarts: int = 100, maxiter: int = 1000,
     tol: float = 1e-4, seed: int = 147959412, dtype=None,
     chunk_iters: Optional[int] = None,
+    compact_schedule: Optional[Sequence[int]] = None,
 ):
     """Best-of-N LDA fitting: vmapped restarts, argmax final log-likelihood.
-    `chunk_iters` enables the host-chunked compacted driver."""
+    `chunk_iters` enables the host-chunked compacted driver;
+    `compact_schedule` the 2-phase straggler fit (see fit_restarts)."""
     from ..models import lda as lda_mod
     from ..models.lda import LDA
 
@@ -514,7 +525,7 @@ def fit_lda_restarts(
     cfg, Xd = model.config, model.Xdense
     keys = jax.random.split(jax.random.key(seed), restarts)
 
-    if chunk_iters is None:
+    if chunk_iters is None and compact_schedule is None:
 
         @partial(jax.jit, static_argnames=())
         def run(keys):
@@ -533,7 +544,9 @@ def fit_lda_restarts(
                 converged=carry_converged(c[1], c[2], c[3]),
                 elbo=lda_mod.calculate_elbo(c[0], Xd, cfg), ll=c[1][c[2] - 1],
             ),
-            keys, maxiter, tol, chunk_iters, restarts, cfg.dtype,
+            keys, maxiter, tol,
+            _resolve_schedule(chunk_iters, compact_schedule),
+            restarts, cfg.dtype,
         )
     # mask diverged (non-finite-ll) lanes out of selection, matching the
     # MMCTM pick functions above
@@ -550,9 +563,11 @@ def fit_ilda_restarts(
     k, alpha, eta, features, X, restarts: int = 100, maxiter: int = 1000,
     tol: float = 1e-4, seed: int = 147959412, dtype=None,
     chunk_iters: Optional[int] = None,
+    compact_schedule: Optional[Sequence[int]] = None,
 ):
     """Best-of-N ILDA fitting: vmapped restarts, argmax final log-likelihood.
-    `chunk_iters` enables the host-chunked compacted driver."""
+    `chunk_iters` enables the host-chunked compacted driver;
+    `compact_schedule` the 2-phase straggler fit (see fit_restarts)."""
     from ..models import ilda as ilda_mod
     from ..models.ilda import ILDA
 
@@ -560,7 +575,7 @@ def fit_ilda_restarts(
     cfg, Xd, F = model.config, model.Xdense, model.F
     keys = jax.random.split(jax.random.key(seed), restarts)
 
-    if chunk_iters is None:
+    if chunk_iters is None and compact_schedule is None:
 
         @jax.jit
         def run(keys):
@@ -591,7 +606,9 @@ def fit_ilda_restarts(
                 converged=carry_converged(c[1], c[2], c[3]),
                 elbo=ilda_mod.calculate_elbo(c[0], Xd, F, cfg), ll=c[1][c[2] - 1],
             ),
-            keys, maxiter, tol, chunk_iters, restarts, cfg.dtype,
+            keys, maxiter, tol,
+            _resolve_schedule(chunk_iters, compact_schedule),
+            restarts, cfg.dtype,
         )
     # mask diverged (non-finite-ll) lanes out of selection, matching the
     # MMCTM pick functions above
@@ -608,11 +625,13 @@ def fit_immctm_restarts(
     k, alpha, features, X, restarts: int = 100, maxiter: int = 1000,
     tol: float = 1e-4, seed: int = 147959412, dtype=None,
     chunk_iters: Optional[int] = None,
+    compact_schedule: Optional[Sequence[int]] = None,
 ):
     """Best-of-N IMMCTM fitting: vmapped restarts; selection by min mean
     dense-rank of |ll| across modalities (the MMCTM CLI's criterion,
     run_mmctm.jl:136-147). `chunk_iters` enables the same host-chunked
-    compacted driver as the MMCTM path."""
+    compacted driver as the MMCTM path; `compact_schedule` the 2-phase
+    straggler fit (see fit_restarts)."""
     from ..models import immctm as immctm_mod
     from ..models.ctm_base import make_cavi_carry as _mk
     from ..models.immctm import IMMCTM
@@ -626,7 +645,7 @@ def fit_immctm_restarts(
         state = immctm_mod.init(key, cfg, [np.zeros(i) for i in cfg.I])
         return state._replace(alpha=alpha_full)
 
-    if chunk_iters is None:
+    if chunk_iters is None and compact_schedule is None:
 
         @jax.jit
         def run(keys):
@@ -666,7 +685,7 @@ def fit_immctm_restarts(
 
         final = _chunked_drive(
             init_c(keys), advance, maxiter, restarts,
-            schedule=_repeat_forever(chunk_iters),
+            schedule=_resolve_schedule(chunk_iters, compact_schedule),
         )
         result = finalize(final)
 

@@ -99,3 +99,36 @@ def test_ilda_chunked_matches_single_shot(lda_fixture):
     np.testing.assert_allclose(a.ll, b.ll, rtol=1e-12)
     for i in range(2):
         np.testing.assert_allclose(a.lam[i], b.lam[i], rtol=1e-10)
+
+
+def test_family_compact_schedule_matches_single_shot(lda_fixture, mmctm_fixture):
+    """compact_schedule (the 2-phase straggler fit) on the LDA/ILDA/IMMCTM
+    best-of-N fitters must reproduce the single-dispatch results exactly."""
+    kw = dict(restarts=3, maxiter=15, seed=4)
+    a = fit_immctm_restarts(
+        mmctm_fixture["K"], mmctm_fixture["alpha"], [FEATURES, FEATURES],
+        mmctm_fixture["X"], **kw,
+    )
+    b = fit_immctm_restarts(
+        mmctm_fixture["K"], mmctm_fixture["alpha"], [FEATURES, FEATURES],
+        mmctm_fixture["X"], compact_schedule=(6,), **kw,
+    )
+    np.testing.assert_allclose(a.ll, b.ll, rtol=1e-10)
+
+    kw = dict(restarts=3, maxiter=25, tol=1e-6, seed=11)
+    a = fit_lda_restarts(
+        lda_fixture["K"], lda_fixture["alpha"], lda_fixture["eta"],
+        lda_fixture["X"], **kw,
+    )
+    b = fit_lda_restarts(
+        lda_fixture["K"], lda_fixture["alpha"], lda_fixture["eta"],
+        lda_fixture["X"], compact_schedule=(8, 6), **kw,
+    )
+    np.testing.assert_allclose(a.ll, b.ll, rtol=1e-12)
+
+    a = fit_ilda_restarts(2, 0.1, 0.1, FEATURES, lda_fixture["X"],
+                          restarts=3, maxiter=20, seed=12)
+    b = fit_ilda_restarts(2, 0.1, 0.1, FEATURES, lda_fixture["X"],
+                          restarts=3, maxiter=20, seed=12,
+                          compact_schedule=(7,))
+    np.testing.assert_allclose(a.ll, b.ll, rtol=1e-12)
