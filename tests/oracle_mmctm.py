@@ -652,3 +652,138 @@ def oracle_predict_eta(Xobs, m, trained, K, n_iters):
     A = trained["Sigma"][np.ix_(unobs, obs)] @ trained["invSigma"][np.ix_(obs, obs)]
     eta = trained["mu"][unobs][None, :] + (s["lam"] - trained["mu"][obs][None, :]) @ A.T
     return eta, s, ll_hist
+
+
+# ---------------------------------------------------------------------------
+# IMMCTM inference-path oracles: transform (capability extension following
+# MMCTM's pattern — the reference has no IMMCTM transform), fit_heldout
+# (src/IMMCTM.jl:468-497) and predict_modality_η (src/IMMCTM.jl:499-545).
+# The η/doc-side math is identical to MMCTM's (shared _estep_sweep); only
+# the θ log-weights and the mixture likelihood are feature-factorized.
+# ---------------------------------------------------------------------------
+
+
+def _immctm_Eln_m(gamma_m):
+    return [digamma(g) - digamma(g.sum(axis=1, keepdims=True)) for g in gamma_m]
+
+
+def _immctm_logw(gamma, features, K, point=False):
+    """Per-modality (V_m, K_m) θ log-weights: Σ_i over feature tables —
+    E[ln ϕ] (smoothed) or log of the normalized point estimate."""
+    out = []
+    for m in range(len(K)):
+        V, I = features[m].shape
+        if point:
+            tables = [
+                np.log(g / g.sum(axis=1, keepdims=True)) for g in gamma[m]
+            ]
+        else:
+            tables = _immctm_Eln_m(gamma[m])
+        w = np.zeros((V, K[m]))
+        for v in range(V):
+            for i in range(I):
+                w[v] += tables[i][:, features[m][v, i] - 1]
+        out.append(w)
+    return out
+
+
+def _immctm_ll(X, lam, gamma, features, K, off):
+    """(M,) per-modality normalized mixture ll with per-feature point-ϕ
+    products (src/IMMCTM.jl:362-428)."""
+    out = np.empty(len(K))
+    for m in range(len(K)):
+        phi = [g / g.sum(axis=1, keepdims=True) for g in gamma[m]]
+        V = X[m].shape[1]
+        B = np.ones((K[m], V))
+        for v in range(V):
+            for i in range(features[m].shape[1]):
+                B[:, v] *= phi[i][:, features[m][v, i] - 1]
+        ll, Ntot = 0.0, 0.0
+        for d in range(X[m].shape[0]):
+            lb = lam[d, off[m]: off[m] + K[m]]
+            e = np.exp(lb - lb.max())
+            P = (e / e.sum()) @ B
+            mask = X[m][d] > 0
+            ll += np.sum(X[m][d][mask] * np.log(P[mask]))
+            Ntot += X[m][d].sum()
+        out[m] = ll / Ntot
+    return out
+
+
+def oracle_immctm_transform(Xnew, features, trained, K, n_iters,
+                            fit_gaussian=False):
+    """IMMCTM fold-in: fresh doc-side state, θ from the per-feature POINT
+    estimates (unsmoothed product), μ/Σ frozen unless fit_gaussian (in
+    which case they start at 0/I, as in MMCTM's transform)."""
+    MK = sum(K)
+    off = _offsets(K)
+    D = Xnew[0].shape[0]
+    lam, nu, zeta = _fresh_docside(Xnew, K)
+    if fit_gaussian:
+        mu, Sigma, invSigma = np.zeros(MK), np.eye(MK), np.eye(MK)
+    else:
+        mu = trained["mu"].copy()
+        Sigma = trained["Sigma"].copy()
+        invSigma = np.linalg.inv(trained["Sigma"])
+    s = dict(mu=mu, Sigma=Sigma, invSigma=invSigma,
+             gamma=trained["gamma"], lam=lam, nu=nu, zeta=zeta)
+    logw = _immctm_logw(trained["gamma"], features, K, point=True)
+    ll_hist = np.empty((n_iters, len(K)))
+    for it in range(n_iters):
+        _estep_sweep(s, Xnew, K, off, logw)
+        if fit_gaussian:
+            s["mu"] = s["lam"].mean(axis=0)
+            E = s["lam"] - s["mu"]
+            s["Sigma"] = (np.diag(s["nu"].sum(axis=0)) + E.T @ E) / D
+            s["invSigma"] = np.linalg.inv(s["Sigma"])
+        ll_hist[it] = _immctm_ll(Xnew, s["lam"], trained["gamma"], features, K, off)
+    return s, ll_hist
+
+
+def oracle_immctm_fit_heldout(Xh, features, trained, K, n_iters):
+    """Doc-side-only refit, SMOOTHED θ via the trained per-feature E[ln ϕ]
+    (src/IMMCTM.jl:468-497)."""
+    off = _offsets(K)
+    lam, nu, zeta = _fresh_docside(Xh, K)
+    s = dict(
+        mu=trained["mu"].copy(), Sigma=trained["Sigma"].copy(),
+        invSigma=trained["invSigma"].copy(),
+        gamma=trained["gamma"], lam=lam, nu=nu, zeta=zeta,
+    )
+    logw = _immctm_logw(trained["gamma"], features, K, point=False)
+    ll_hist = np.empty((n_iters, len(K)))
+    for it in range(n_iters):
+        _estep_sweep(s, Xh, K, off, logw)
+        ll_hist[it] = _immctm_ll(Xh, s["lam"], trained["gamma"], features, K, off)
+    return s, ll_hist
+
+
+def oracle_immctm_predict_eta(Xobs, features, m, trained, K, n_iters):
+    """Cross-modality imputation (src/IMMCTM.jl:499-545): doc-side fit of
+    the observed modalities (smoothed θ, sliced globals incl. the [obs,obs]
+    block of the FULL inverse), then the linear conditioning estimator.
+    `m` and `features` are 0-based / full-model; Xobs holds the observed
+    modalities in original order."""
+    MK = sum(K)
+    off = _offsets(K)
+    unobs = np.arange(off[m], off[m] + K[m])
+    obs = np.setdiff1d(np.arange(MK), unobs)
+    obsM = [i for i in range(len(K)) if i != m]
+    K_obs = [K[i] for i in obsM]
+    off_obs = _offsets(K_obs)
+    f_obs = [features[i] for i in obsM]
+    g_obs = [trained["gamma"][i] for i in obsM]
+
+    lam, nu, zeta = _fresh_docside(Xobs, K_obs)
+    s = dict(
+        mu=trained["mu"][obs].copy(),
+        Sigma=trained["Sigma"][np.ix_(obs, obs)].copy(),
+        invSigma=trained["invSigma"][np.ix_(obs, obs)].copy(),
+        gamma=g_obs, lam=lam, nu=nu, zeta=zeta,
+    )
+    logw = _immctm_logw(g_obs, f_obs, K_obs, point=False)
+    for it in range(n_iters):
+        _estep_sweep(s, Xobs, K_obs, off_obs, logw)
+    A = trained["Sigma"][np.ix_(unobs, obs)] @ trained["invSigma"][np.ix_(obs, obs)]
+    eta = trained["mu"][unobs][None, :] + (s["lam"] - trained["mu"][obs][None, :]) @ A.T
+    return eta, s

@@ -444,3 +444,284 @@ class TestInferencePathTrajectories:
             np.asarray(obs_state.lam), so["lam"], rtol=1e-7, atol=1e-10
         )
         np.testing.assert_allclose(np.asarray(eta), eta_o, rtol=1e-7, atol=1e-10)
+
+
+class TestIMMCTMInferencePaths:
+    """IMMCTM transform / fit_heldout / predict_modality_η against the
+    independent feature-factorized oracles, from identical trained globals
+    (produced by oracle_fit_immctm)."""
+
+    def _trained(self, rng, n_fit=6):
+        from scipy.special import digamma as sp_digamma
+
+        from multimodalmusig_tpu.models import immctm as imod
+
+        K, V, J, features, Xnp, cfg, F = TestIMMCTMTrajectory()._setup(rng)
+        alpha = [[0.1, 0.2], [0.15, 0.1]]
+        state0 = imod.init(jax.random.key(2), cfg, alpha)
+        gamma_init = [[np.asarray(g) for g in gm] for gm in state0.gamma]
+        from oracle_mmctm import oracle_fit_immctm
+
+        s, _, _, _ = oracle_fit_immctm(Xnp, K, features, alpha, gamma_init, n_fit)
+        Elnphi = tuple(
+            tuple(
+                jnp.asarray(
+                    sp_digamma(g) - sp_digamma(g.sum(axis=1, keepdims=True))
+                )
+                for g in gm
+            )
+            for gm in s["gamma"]
+        )
+        trained_state = state0._replace(
+            mu=jnp.asarray(s["mu"]),
+            Sigma=jnp.asarray(s["Sigma"]),
+            invSigma=jnp.asarray(s["invSigma"]),
+            gamma=tuple(tuple(jnp.asarray(g) for g in gm) for gm in s["gamma"]),
+            Elnphi=Elnphi,
+        )
+        return K, V, J, features, cfg, F, s, trained_state
+
+    @pytest.mark.parametrize("fit_gaussian", [False, True])
+    def test_immctm_transform_trajectory(self, rng, fit_gaussian):
+        from multimodalmusig_tpu.models import immctm as imod
+        from oracle_mmctm import oracle_immctm_transform
+
+        K, V, J, features, cfg, F, s, trained_state = self._trained(rng)
+        Dnew, n = 4, 6
+        Xnew_np = [
+            rng.integers(0, 8, size=(Dnew, V[m])).astype(np.float64)
+            for m in range(2)
+        ]
+        cfg_new = dataclasses.replace(cfg, D=Dnew)
+        Xnew = tuple(jnp.asarray(x) for x in Xnew_np)
+        fresh = imod.init(jax.random.key(9), cfg_new, [[0.1, 0.2], [0.15, 0.1]])
+        result = jax.jit(
+            imod.transform_states,
+            static_argnames=("config", "maxiter", "tol", "fit_gaussian"),
+        )(trained_state, fresh, Xnew, F, cfg_new, maxiter=n, tol=0.0,
+          fit_gaussian=fit_gaussian)
+        so, ll_hist = oracle_immctm_transform(
+            Xnew_np, features, s, K, n, fit_gaussian=fit_gaussian
+        )
+        np.testing.assert_allclose(
+            np.asarray(result.ll_history[:n], np.float64), ll_hist, rtol=1e-8
+        )
+        np.testing.assert_allclose(
+            np.asarray(result.state.lam), so["lam"], rtol=1e-7, atol=1e-10
+        )
+        if not fit_gaussian:
+            np.testing.assert_allclose(
+                np.asarray(result.state.Sigma), s["Sigma"], rtol=1e-12
+            )
+
+    def test_immctm_fit_heldout_trajectory(self, rng):
+        from multimodalmusig_tpu.models import immctm as imod
+        from oracle_mmctm import oracle_immctm_fit_heldout
+
+        K, V, J, features, cfg, F, s, trained_state = self._trained(rng)
+        Dnew, n = 4, 6
+        Xh_np = [
+            rng.integers(0, 8, size=(Dnew, V[m])).astype(np.float64)
+            for m in range(2)
+        ]
+        cfg_new = dataclasses.replace(cfg, D=Dnew)
+        Xh = tuple(jnp.asarray(x) for x in Xh_np)
+        fresh = imod.init(jax.random.key(10), cfg_new, [[0.1, 0.2], [0.15, 0.1]])
+        result = jax.jit(
+            imod.fit_heldout_states,
+            static_argnames=("config", "maxiter", "tol"),
+        )(trained_state, fresh, Xh, F, cfg_new, maxiter=n, tol=0.0)
+        so, ll_hist = oracle_immctm_fit_heldout(Xh_np, features, s, K, n)
+        np.testing.assert_allclose(
+            np.asarray(result.ll_history[:n], np.float64), ll_hist, rtol=1e-8
+        )
+        np.testing.assert_allclose(
+            np.asarray(result.state.lam), so["lam"], rtol=1e-7, atol=1e-10
+        )
+
+    @pytest.mark.parametrize("m", [0, 1])
+    def test_immctm_predict_eta_trajectory(self, rng, m):
+        from multimodalmusig_tpu.models import immctm as imod
+        from multimodalmusig_tpu.models.immctm import IMMCTMConfig
+        from oracle_mmctm import oracle_immctm_predict_eta
+
+        K, V, J, features, cfg, F, s, trained_state = self._trained(rng)
+        Dnew, n = 4, 6
+        obsM = [i for i in range(2) if i != m]
+        Xobs_np = [
+            rng.integers(0, 8, size=(Dnew, V[i])).astype(np.float64) for i in obsM
+        ]
+        obs_cfg = IMMCTMConfig(
+            K=tuple(K[i] for i in obsM), V=tuple(V[i] for i in obsM),
+            D=Dnew, dtype=jnp.float64, J=tuple(J[i] for i in obsM),
+        )
+        Fobs = tuple(F[i] for i in obsM)
+        Xobs = tuple(jnp.asarray(x) for x in Xobs_np)
+        fresh = imod.init(
+            jax.random.key(12), obs_cfg,
+            [[0.1] * len(J[i]) for i in obsM],
+        )
+        eta, obs_state, _ = jax.jit(
+            imod.predict_modality_eta_states,
+            static_argnames=("m", "config", "obs_config", "maxiter", "tol"),
+        )(trained_state, fresh, Xobs, m, Fobs, cfg, obs_cfg, maxiter=n, tol=0.0)
+        eta_o, so = oracle_immctm_predict_eta(Xobs_np, features, m, s, K, n)
+        np.testing.assert_allclose(
+            np.asarray(obs_state.lam), so["lam"], rtol=1e-7, atol=1e-10
+        )
+        np.testing.assert_allclose(np.asarray(eta), eta_o, rtol=1e-7, atol=1e-10)
+
+
+class TestLDAILDAInferencePaths:
+    """LDA transform (src/LDA.jl:233-263) / fit_heldout (:265-295) and the
+    ILDA analogues (transform fixes the reference's dead code at
+    ILDA.jl:288-321; fit_heldout ILDA.jl:323-353) against independent
+    closed-form loop oracles. No solver involved — these pin the update
+    ORDER, the smoothed-vs-point-β distinction, and the per-word mixture
+    likelihood on frozen topics."""
+
+    @staticmethod
+    def _lda_inference_oracle(Xnew, lam_trained, K, alpha, n_iters, smoothed):
+        from scipy.special import digamma as dg
+
+        D, V = Xnew.shape
+        beta = lam_trained / lam_trained.sum(axis=0, keepdims=True)  # (V, K)
+        logw = (
+            dg(lam_trained) - dg(lam_trained.sum(axis=0, keepdims=True))
+            if smoothed
+            else np.log(beta)
+        )
+        phi = np.full((D, V, K), 1.0 / K)
+        ll_hist = np.empty(n_iters)
+        for it in range(n_iters):
+            gamma = alpha + np.einsum("dv,dvk->dk", Xnew, phi)
+            Elnt = dg(gamma) - dg(gamma.sum(axis=1, keepdims=True))
+            logits = Elnt[:, None, :] + logw[None, :, :]
+            e = np.exp(logits - logits.max(axis=2, keepdims=True))
+            phi = e / e.sum(axis=2, keepdims=True)
+            theta = gamma / gamma.sum(axis=1, keepdims=True)
+            P = theta @ beta.T
+            mask = Xnew > 0
+            ll_hist[it] = np.sum(Xnew[mask] * np.log(P[mask])) / Xnew.sum()
+        return gamma, theta, ll_hist
+
+    def _lda_trained(self, rng, D=6, V=9, K=3, n_fit=8):
+        from multimodalmusig_tpu.models import lda as lmod
+        from multimodalmusig_tpu.models.lda import LDAConfig
+
+        Xnp = rng.integers(0, 7, size=(D, V)).astype(np.float64)
+        cfg = LDAConfig(K=K, V=V, D=D, alpha=0.1, eta=0.2, dtype=jnp.float64)
+        state = lmod.init(jax.random.key(1), cfg)
+        result = jax.jit(
+            lmod.fit, static_argnames=("config", "maxiter", "tol")
+        )(state, jnp.asarray(Xnp), cfg, maxiter=n_fit, tol=0.0)
+        return cfg, result.state
+
+    @pytest.mark.parametrize("path", ["transform", "fit_heldout"])
+    def test_lda_inference_trajectory(self, rng, path):
+        from multimodalmusig_tpu.models import lda as lmod
+
+        cfg, trained = self._lda_trained(rng)
+        Dnew, n = 4, 7
+        Xnew_np = rng.integers(0, 7, size=(Dnew, cfg.V)).astype(np.float64)
+        cfg_new = dataclasses.replace(cfg, D=Dnew)
+        fresh = lmod.init(jax.random.key(3), cfg_new)
+        if path == "transform":
+            theta, result = jax.jit(
+                lmod.transform_states, static_argnames=("config", "maxiter", "tol")
+            )(trained, fresh, jnp.asarray(Xnew_np), cfg_new, maxiter=n, tol=0.0)
+        else:
+            result = jax.jit(
+                lmod.fit_heldout_states, static_argnames=("config", "maxiter", "tol")
+            )(trained, fresh, jnp.asarray(Xnew_np), cfg_new, maxiter=n, tol=0.0)
+            theta = result.state.gamma / result.state.gamma.sum(
+                axis=1, keepdims=True
+            )
+        gamma_o, theta_o, ll_hist = self._lda_inference_oracle(
+            Xnew_np, np.asarray(trained.lam), cfg.K, cfg.alpha, n,
+            smoothed=(path == "fit_heldout"),
+        )
+        np.testing.assert_allclose(
+            np.asarray(result.ll_history[:n], np.float64), ll_hist, rtol=1e-10
+        )
+        np.testing.assert_allclose(np.asarray(result.state.gamma), gamma_o, rtol=1e-10)
+        np.testing.assert_allclose(np.asarray(theta), theta_o, rtol=1e-9)
+        # topics frozen
+        np.testing.assert_allclose(
+            np.asarray(result.state.lam), np.asarray(trained.lam), rtol=0
+        )
+
+    @staticmethod
+    def _ilda_inference_oracle(Xnew, features, lam_trained, K, alpha, n_iters,
+                               smoothed):
+        from scipy.special import digamma as dg
+
+        D, V = Xnew.shape
+        I = features.shape[1]
+        beta = [l / l.sum(axis=0, keepdims=True) for l in lam_trained]  # (J_i, K)
+        # per-vocab log-weights and point mixture table B (K per v)
+        logw = np.zeros((V, K))
+        B = np.ones((V, K))
+        for v in range(V):
+            for i in range(I):
+                j = features[v, i] - 1
+                B[v] *= beta[i][j]
+                logw[v] += (
+                    (dg(lam_trained[i]) - dg(lam_trained[i].sum(axis=0, keepdims=True)))[j]
+                    if smoothed
+                    else np.log(beta[i][j])
+                )
+        phi = np.full((D, V, K), 1.0 / K)
+        ll_hist = np.empty(n_iters)
+        for it in range(n_iters):
+            gamma = alpha + np.einsum("dv,dvk->dk", Xnew, phi)
+            Elnt = dg(gamma) - dg(gamma.sum(axis=1, keepdims=True))
+            logits = Elnt[:, None, :] + logw[None, :, :]
+            e = np.exp(logits - logits.max(axis=2, keepdims=True))
+            phi = e / e.sum(axis=2, keepdims=True)
+            theta = gamma / gamma.sum(axis=1, keepdims=True)
+            P = theta @ B.T
+            mask = Xnew > 0
+            ll_hist[it] = np.sum(Xnew[mask] * np.log(P[mask])) / Xnew.sum()
+        return gamma, ll_hist
+
+    @pytest.mark.parametrize("path", ["transform", "fit_heldout"])
+    def test_ilda_inference_trajectory(self, rng, path):
+        from multimodalmusig_tpu.models import ilda as ildmod
+        from multimodalmusig_tpu.models.ilda import ILDAConfig, feature_onehots
+
+        V, K, J = 8, 3, (4, 2)
+        features = np.stack(
+            [rng.integers(1, j + 1, size=V) for j in J], axis=1
+        )
+        for i, j in enumerate(J):
+            features[:j, i] = np.arange(1, j + 1)
+        D, Dnew, n = 6, 4, 7
+        Xnp = rng.integers(0, 7, size=(D, V)).astype(np.float64)
+        cfg = ILDAConfig(K=K, V=V, D=D, J=J, alpha=0.1, eta=(0.2, 0.3),
+                         dtype=jnp.float64)
+        F = feature_onehots(features, J, jnp.float64)
+        state = ildmod.init(jax.random.key(4), cfg)
+        trained = jax.jit(
+            ildmod.fit, static_argnames=("config", "maxiter", "tol")
+        )(state, jnp.asarray(Xnp), F, cfg, maxiter=8, tol=0.0).state
+
+        Xnew_np = rng.integers(0, 7, size=(Dnew, V)).astype(np.float64)
+        cfg_new = dataclasses.replace(cfg, D=Dnew)
+        fresh = ildmod.init(jax.random.key(5), cfg_new)
+        if path == "transform":
+            theta, result = jax.jit(
+                ildmod.transform_states, static_argnames=("config", "maxiter", "tol")
+            )(trained, fresh, jnp.asarray(Xnew_np), F, cfg_new, maxiter=n, tol=0.0)
+        else:
+            result = jax.jit(
+                ildmod.fit_heldout_states, static_argnames=("config", "maxiter", "tol")
+            )(trained, fresh, jnp.asarray(Xnew_np), F, cfg_new, maxiter=n, tol=0.0)
+        gamma_o, ll_hist = self._ilda_inference_oracle(
+            Xnew_np, features, [np.asarray(l) for l in trained.lam],
+            K, cfg.alpha, n, smoothed=(path == "fit_heldout"),
+        )
+        np.testing.assert_allclose(
+            np.asarray(result.ll_history[:n], np.float64), ll_hist, rtol=1e-10
+        )
+        np.testing.assert_allclose(np.asarray(result.state.gamma), gamma_o, rtol=1e-10)
