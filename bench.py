@@ -16,7 +16,13 @@ criterion.
 
 Prints ONE JSON line:
   {"metric": "mmctm_restarts_per_sec_brca_tol1e-5", "value": R/t_accel,
-   "unit": "restarts/s", "vs_baseline": (R/t_accel)/(1/t_ref_restart)}
+   "unit": "restarts/s", "vs_baseline": <pinned ratio>, ...}
+
+where vs_baseline = vs_baseline_pinned = (R/t_accel) x (pinned_floor_s_per_iter
+x median_iters) uses the recorded conservative proxy floor from BASELINE.json
+(stable across runs; since round 3), and vs_baseline_live re-measures the proxy
+on this host now (the round-1/2 definition of vs_baseline — it swings with
+shared-host load). Extra r1000_* fields report the reference-CLI-default scale.
 
 vs_baseline >= 100 means the north-star target (BASELINE.md: 100 restarts in
 less wall-clock than ONE reference-architecture CPU restart) is met.

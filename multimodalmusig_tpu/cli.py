@@ -93,6 +93,13 @@ def build_parser() -> argparse.ArgumentParser:
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
 
+    if args.chunk_iters and args.compact_at:
+        print(
+            "run-mmctm: --chunk-iters and --compact-at are mutually exclusive "
+            "(fixed-cadence watchdog chunking vs 2-phase straggler compaction)",
+            file=sys.stderr,
+        )
+        return 1
     if len(args.counts) != len(args.k):
         print("Number of count files must match the number of K values.", file=sys.stderr)
         return 1

@@ -184,21 +184,15 @@ def fit_restarts(
     (requires `chunk_iters` or `compact_schedule`: an unchunked fit is one
     device dispatch with nothing observable until it returns).
     """
-    if chunk_iters is not None and compact_schedule is not None:
-        raise ValueError("chunk_iters and compact_schedule are mutually exclusive")
     if chunk_iters is None and compact_schedule is None:
         return fit_restarts_from_keys(
             jax.random.split(key, restarts), X, config, alpha,
             maxiter=maxiter, tol=tol, init_method=init_method,
         )
+    schedule = _resolve_schedule(chunk_iters, compact_schedule)
     X = tuple(X)
     keys = jax.random.split(key, restarts)
     carries = _init_carries(keys, X, config, alpha, maxiter, init_method)
-    schedule = (
-        tuple(compact_schedule)
-        if compact_schedule is not None
-        else _repeat_forever(chunk_iters)
-    )
     final = _chunked_drive(
         carries,
         lambda c, b: _advance_carries(c, X, config, maxiter, tol, b),

@@ -117,7 +117,9 @@ def shmap_fit_restarts(
 
     R_pad = ((restarts + n - 1) // n) * n
     keys = jax.random.split(key, restarts)
-    keys = jnp.concatenate([keys, keys[: R_pad - restarts]], axis=0)
+    # pad by cycling (a single slice underfills when R_pad - restarts > restarts,
+    # e.g. 3 restarts on an 8-device mesh); duplicates are dropped on return
+    keys = jnp.take(keys, jnp.arange(R_pad) % restarts, axis=0)
     X = tuple(X)
 
     @partial(jax.jit, static_argnames=())

@@ -250,19 +250,22 @@ class TestShmapRestarts:
     def test_pads_non_divisible_restarts(self, mmctm_fixture):
         model = MMCTM(mmctm_fixture["K"], mmctm_fixture["alpha"], mmctm_fixture["X"])
         alpha = jnp.asarray([0.1, 0.1], model.config.dtype)
-        sm = smod.shmap_fit_restarts(
-            jax.random.key(3), model.Xdense, model.config, alpha,
-            restarts=5, maxiter=4, devices=jax.devices("cpu")[:4],
-            use_fused=False,
-        )
-        assert np.asarray(sm.ll).shape == (5, 2)
-        plain = rmod.fit_restarts(
-            jax.random.key(3), model.Xdense, model.config, alpha,
-            restarts=5, maxiter=4,
-        )
-        np.testing.assert_allclose(
-            np.asarray(sm.ll), np.asarray(plain.ll), rtol=1e-6
-        )
+        # 5 on 4 devices (pad 3) AND 3 on 8 devices (pad 5 > restarts — the
+        # cycling-pad case a single tail slice would underfill)
+        for restarts, n_dev in [(5, 4), (3, 8)]:
+            sm = smod.shmap_fit_restarts(
+                jax.random.key(3), model.Xdense, model.config, alpha,
+                restarts=restarts, maxiter=4,
+                devices=jax.devices("cpu")[:n_dev], use_fused=False,
+            )
+            assert np.asarray(sm.ll).shape == (restarts, 2)
+            plain = rmod.fit_restarts(
+                jax.random.key(3), model.Xdense, model.config, alpha,
+                restarts=restarts, maxiter=4,
+            )
+            np.testing.assert_allclose(
+                np.asarray(sm.ll), np.asarray(plain.ll), rtol=1e-6
+            )
 
     def test_fused_kernel_runs_under_shard_map(self, mmctm_fixture, monkeypatch):
         """use_fused=True must take the Pallas path inside every device's

@@ -47,6 +47,9 @@ def main():
     ap.add_argument("--tol", type=float, default=1e-5)
     ap.add_argument("--chunk-iters", type=int, default=0,
                     help="0 = unchunked single-execution fit (fastest on the tunnel)")
+    ap.add_argument("--compact-at", type=int, nargs="+", default=None,
+                    help="2-phase straggler compaction budgets (see "
+                    "fit_restarts compact_schedule)")
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--no-record", action="store_true")
     args = ap.parse_args()
@@ -75,6 +78,7 @@ def main():
     kwargs = dict(
         restarts=args.restarts, maxiter=args.maxiter, tol=args.tol,
         chunk_iters=args.chunk_iters or None,
+        compact_schedule=tuple(args.compact_at) if args.compact_at else None,
     )
     platform = jax.devices()[0].platform
     print(f"platform={platform} D={args.docs} R={args.restarts} K={K} V={V}",
@@ -104,6 +108,10 @@ def main():
         "restart_iters_per_s": round(total_iters / t, 2),
         "restarts_per_hour": round(args.restarts / t * 3600, 1),
         "iters_median": int(np.median(iters)),
+        "iter_percentiles": {
+            str(p): int(np.percentile(iters, p)) for p in (50, 75, 90, 95, 100)
+        },
+        "compact_at": args.compact_at,
         "best_ll": [float(v) for v in ll.max(axis=0)],
         "all_finite": bool(np.isfinite(ll).all()),
     }

@@ -8,8 +8,9 @@ keys, so trajectories — and therefore compaction bucket sizes and cached
 executables — are deterministic.
 
 Usage: python tools/r1000_two_phase.py [schedule ...]
-  schedule syntax: comma-separated iteration budgets, e.g. 160 or 132,80
-  default arms: unchunked, 160, 132,80, 200
+  schedule syntax: comma-separated iteration budgets, e.g. 185 or 190,80
+  default arms: unchunked, 185, "190,80", 233 (the arms recorded in
+  BENCH_LOCAL.json; 190,80 won at 9.41 s vs 14.48 s unchunked)
 """
 
 import json
