@@ -52,13 +52,14 @@ PROXY_ITERS = 2
 METRIC = "mmctm_restarts_per_sec_brca_tol1e-5"
 
 # The reference CLI's default scale (run_mmctm.jl:52) is also measured on
-# accelerators, with the 2-phase straggler compaction: run all 1000 lanes to
-# just past p75 of the iteration distribution (190), compact converged lanes
-# out on device, run survivors 80 more (past p95), compact again, finish.
-# Measured on the v5e chip (tools/r1000_two_phase.py): 9.41 s = 106 restarts/s
-# vs 14.48 s = 69/s unchunked; (185,) and (233,) both ~10.0 s.
+# accelerators, with the 2-phase straggler compaction. The schedule is what
+# suggest_compact_schedule picks from the measured iteration distribution
+# (boundaries at ~p50 and ~p88 — the first cut lands where survivors drop
+# below the 512 power-of-two bucket): measured on the v5e chip
+# (tools/r1000_two_phase.py): (130, 94) -> 8.98 s = 111 restarts/s, beating
+# hand-tuned (190, 80) at 9.43 s and unchunked at 14.48 s = 69/s.
 R1000 = 1000
-R1000_SCHEDULE = (190, 80)
+R1000_SCHEDULE = (130, 94)
 
 
 def load_counts_np():

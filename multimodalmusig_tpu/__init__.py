@@ -23,7 +23,7 @@ from .models.mmctm import (
     predict_modality_eta as mmctm_predict_modality_eta,
     transform as mmctm_transform,
 )
-from .parallel.restarts import fit_mmctm_restarts
+from .parallel.restarts import fit_mmctm_restarts, suggest_compact_schedule
 from .utils.formatting import (
     format_counts_ctm,
     format_counts_lda,
@@ -48,6 +48,7 @@ __all__ = [
     "fit_heldout",
     "predict_modality_eta",
     "fit_mmctm_restarts",
+    "suggest_compact_schedule",
     "save_model",
     "load_model",
     "calculate_elbo",

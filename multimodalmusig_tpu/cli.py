@@ -78,7 +78,10 @@ def build_parser() -> argparse.ArgumentParser:
         "the given iteration budget(s), compact converged lanes out on "
         "device after each, then finish survivors unbounded. At large "
         "--restarts this avoids paying the slowest lane's iteration count "
-        "on every lane. Mutually exclusive with --chunk-iters.",
+        "on every lane (BRCA R=1000: 9.4 s vs 14.5 s with '190 80'). "
+        "Budgets for a new dataset: run a small pilot, then "
+        "multimodalmusig_tpu.suggest_compact_schedule(result.n_iters). "
+        "Mutually exclusive with --chunk-iters.",
     )
     p.add_argument(
         "--platform", choices=("auto", "cpu", "default"), default="auto",

@@ -55,7 +55,83 @@ __all__ = [
     "fit_restarts",
     "two_stage_fit",
     "fit_mmctm_restarts",
+    "suggest_compact_schedule",
 ]
+
+
+def suggest_compact_schedule(
+    iters,
+    maxiter: Optional[int] = None,
+    boundary_cost_lane_iters: float = 20_000.0,
+    max_boundaries: int = 2,
+):
+    """Pick compaction boundaries for `fit_restarts(compact_schedule=...)`
+    from a pilot fit's per-lane iteration counts (`FitResult.n_iters`).
+
+    A vmapped fit costs (active lanes) x (iterations) of device work per
+    phase, with converged lanes padding up to the next power of two after
+    each compaction (see _chunked_drive), and each boundary costing one
+    host round-trip (`boundary_cost_lane_iters`, in units of lane-iterations
+    — the BRCA default corresponds to ~0.7 s on the remote-TPU tunnel at
+    ~28k lane-iters/s). This searches boundary placements at the observed
+    iteration counts, exhaustively for 1 boundary and greedily-exact for 2,
+    and returns the schedule as cumulative-budget increments — or () when
+    no boundary beats the single dispatch (e.g. a tight distribution).
+
+    Workflow: run the pilot at small R (or take stage-1's n_iters), then
+    fit the production R with the suggested schedule. The iteration
+    distribution is a property of data/tolerance, not of R, so a pilot
+    transfers (BRCA: R=100 and R=1000 distributions match to a few
+    percent — NOTES.md round 3).
+    """
+    iters = np.asarray(iters)
+    iters = iters[np.isfinite(iters)].astype(np.int64)
+    if iters.size == 0:
+        return ()
+    R = iters.size
+    hi = int(iters.max()) if maxiter is None else min(int(iters.max()), maxiter)
+    cuts = np.unique(iters)
+    cuts = cuts[cuts < hi]
+    if cuts.size == 0:
+        return ()
+
+    def bucket(n):
+        return 0 if n == 0 else 1 << (int(n) - 1).bit_length()
+
+    # survivors(c) = lanes needing > c iterations
+    sorted_it = np.sort(iters)
+
+    def survivors(c):
+        return R - int(np.searchsorted(sorted_it, c, side="right"))
+
+    def cost(bounds):
+        total, prev, lanes = 0.0, 0, R
+        for c in bounds:
+            total += lanes * (c - prev) + boundary_cost_lane_iters
+            prev, lanes = c, bucket(survivors(c))
+        return total + lanes * (hi - prev)
+
+    best_bounds, best_cost = (), float(cost(()))
+    # single boundary: exhaustive
+    for c in cuts:
+        v = cost((int(c),))
+        if v < best_cost:
+            best_cost, best_bounds = v, (int(c),)
+    if max_boundaries >= 2 and best_bounds:
+        # second boundary: exhaustive over cuts after the best first one is
+        # NOT optimal in general, so search the full 2-D grid on the (small)
+        # set of distinct counts
+        for i, c1 in enumerate(cuts):
+            for c2 in cuts[i + 1:]:
+                v = cost((int(c1), int(c2)))
+                if v < best_cost:
+                    best_cost, best_bounds = v, (int(c1), int(c2))
+    # cumulative boundaries -> per-phase budget increments
+    out, prev = [], 0
+    for c in best_bounds:
+        out.append(int(c) - prev)
+        prev = int(c)
+    return tuple(out)
 
 
 def dense_rank(values: jnp.ndarray) -> jnp.ndarray:

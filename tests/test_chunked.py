@@ -70,3 +70,55 @@ def test_compact_schedule_excludes_chunk_iters(mmctm_fixture):
             jax.random.key(0), model.Xdense, model.config, alpha,
             restarts=2, maxiter=5, chunk_iters=3, compact_schedule=(3,),
         )
+
+
+class TestSuggestCompactSchedule:
+    def _brca_like(self, rng, R=1000):
+        """Iteration distribution shaped like the measured BRCA R=1000 one
+        (p50 132, p75 185, p90 233, max 406 — NOTES.md round 3)."""
+        base = rng.gamma(shape=9.0, scale=16.0, size=R) + 60
+        return np.clip(base, 60, 406).astype(int)
+
+    def test_picks_boundaries_near_measured_optimum(self, rng):
+        iters = self._brca_like(rng)
+        sched = rmod.suggest_compact_schedule(iters)
+        assert 1 <= len(sched) <= 2
+        # the optimal first boundary sits where survivors drop just below a
+        # power of two — for a long-tailed distribution that's in the broad
+        # p40-p90 band (the measured on-chip optimum for the real BRCA
+        # distribution was cumulative (190, 270) ≈ p77/p95)
+        lo, hi = np.percentile(iters, [40, 90])
+        assert lo <= sched[0] <= hi, (sched, lo, hi)
+        # and adding the suggested boundaries must model-cost less than none
+        assert sum(sched) < iters.max()
+
+    def test_tight_distribution_yields_empty(self):
+        # all lanes finish within a few iterations of each other: any
+        # boundary costs more than the straggler waste it removes
+        iters = np.full(64, 100)
+        iters[:8] = 95
+        assert rmod.suggest_compact_schedule(iters) == ()
+
+    def test_suggested_schedule_runs(self, mmctm_fixture):
+        model = MMCTM(mmctm_fixture["K"], mmctm_fixture["alpha"], mmctm_fixture["X"])
+        alpha = jnp.asarray([0.1, 0.1], model.config.dtype)
+        pilot = rmod.fit_restarts(
+            jax.random.key(9), model.Xdense, model.config, alpha,
+            restarts=5, maxiter=25, tol=1e-5,
+        )
+        sched = rmod.suggest_compact_schedule(
+            np.asarray(pilot.n_iters), maxiter=25, boundary_cost_lane_iters=1.0
+        )
+        # tiny fixture: whatever it suggests must reproduce the same fits
+        phased = rmod.fit_restarts(
+            jax.random.key(9), model.Xdense, model.config, alpha,
+            restarts=5, maxiter=25, tol=1e-5,
+            compact_schedule=sched if sched else (10,),
+        )
+        np.testing.assert_allclose(
+            np.asarray(pilot.ll), np.asarray(phased.ll), rtol=1e-12
+        )
+
+    def test_handles_empty_and_nan(self):
+        assert rmod.suggest_compact_schedule(np.array([])) == ()
+        assert rmod.suggest_compact_schedule(np.array([np.nan, np.nan])) == ()
