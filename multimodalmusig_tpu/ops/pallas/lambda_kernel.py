@@ -37,6 +37,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..solvers import (
+    CG_ITER_F32_CAP,
     _N_BACKTRACK,
     _N_POLISH as _NU_POLISH,
     _POLISH_MAX_STEP,
@@ -214,7 +215,7 @@ def maximize_lambda_fused(
     if MK > PALLAS_MAX_MK:
         raise ValueError(f"MK={MK} exceeds the fused kernel's lane budget {PALLAS_MAX_MK}")
     if cg_iter is None:
-        cg_iter = MK
+        cg_iter = min(MK, CG_ITER_F32_CAP)  # f32 kernel: see solvers.maximize_lambda
     dt = jnp.float32
     MKP = max(8, ((MK + 7) // 8) * 8)
     # Never let the tile exceed the (128-rounded) batch: under vmap this is
@@ -270,7 +271,7 @@ def maximize_lambda_fused_restarts(
     if MK > PALLAS_MAX_MK:
         raise ValueError(f"MK={MK} exceeds the fused kernel's lane budget {PALLAS_MAX_MK}")
     if cg_iter is None:
-        cg_iter = MK
+        cg_iter = min(MK, CG_ITER_F32_CAP)  # f32 kernel: see solvers.maximize_lambda
     dt = jnp.float32
     MKP = max(8, ((MK + 7) // 8) * 8)
     tile_b = min(tile_b, ((D + 127) // 128) * 128)
@@ -413,7 +414,7 @@ def estep_eta_fused(
     if MK > PALLAS_MAX_MK:
         raise ValueError(f"MK={MK} exceeds the fused kernel's lane budget {PALLAS_MAX_MK}")
     if cg_iter is None:
-        cg_iter = MK
+        cg_iter = min(MK, CG_ITER_F32_CAP)  # f32 kernel: see solvers.maximize_lambda
     dt = jnp.float32
     MKP = max(8, ((MK + 7) // 8) * 8)
     MP = max(8, ((M + 7) // 8) * 8)

@@ -72,6 +72,12 @@ LAMBDA_POLISH_ITERS = 2
 # E-step kernel imports this so the two implementations cannot drift.
 NU_FP_ITERS = 8
 
+# Float32 cap on the λ solve's inner PCG iteration count (default
+# cg_iter = min(MK, cap); float64 keeps the exact cg_iter = MK). See
+# maximize_lambda's docstring for the measurements. The Pallas kernels
+# import this so the fused and XLA defaults cannot drift.
+CG_ITER_F32_CAP = 10
+
 __all__ = [
     "lambda_objective",
     "lambda_grad",
@@ -198,12 +204,23 @@ def maximize_lambda(
     already at n_iter = 6; the 8/4/2 over-step ladder covers the cold start,
     and the 7th iteration buys the far-field margin the extreme-start test
     (λ0 = 30) needs. Each Newton iteration
-    costs MK CG matvecs — the dominant VPU FLOPs of the whole CAVI iteration
-    at benchmark batch sizes — so the budget matters.
+    costs cg_iter CG matvecs — the dominant VPU FLOPs of the whole CAVI
+    iteration at benchmark batch sizes — so the budget matters.
+
+    cg_iter default (None): MK in float64 (exact Krylov termination,
+    required by the machine-precision trajectory-parity tests), but
+    CG_ITER_F32_CAP-capped in float32, where f32 arithmetic floors the PCG
+    residual around 1e-6 by ~10 iterations and further ones buy nothing.
+    Measured (round 3, v5e): min(MK, 10) cuts the BRCA R=100 fit 1.10 s →
+    0.90 s and the PCAWG fit 17.5 s → 12.1 s with identical outer-iteration
+    counts and best log-likelihoods, and holds the fuzz stationarity bound
+    at cond(Σ⁻¹) = 1e6 as tightly as the full budget (tests/test_solvers.py
+    TestIllConditionedRobustness). Override per call or per model via
+    CTMBaseConfig.lambda_cg_iter.
     """
     MK = lam0.shape[-1]
     if cg_iter is None:
-        cg_iter = MK
+        cg_iter = MK if lam0.dtype == jnp.float64 else min(MK, CG_ITER_F32_CAP)
 
     # NOTE: a batch-max-gradient early exit was tried here and removed — under
     # vmap (100 restarts x 560 docs) the while_loop condition lifts to
