@@ -135,13 +135,17 @@ def main():
 
         f_nu = (NU_FP_ITERS + 4) * 6.0 * D * MK
         # λ: (7 Newton + polish) rounds; each = gradient matvec (2·MK²·D)
-        #  + MK CG iterations × (matvec 2·MK²·D + ~8·MK·D vector work)
+        #  + cg_iter CG iterations × (matvec 2·MK²·D + ~8·MK·D vector work)
+        #    (cg_iter = the f32 default, min(MK, CG_ITER_F32_CAP))
         #  + line search: 2 exps + (3 over + _N_BACKTRACK) candidates
         #    × ~3·MK·D + sqrt chain
+        from multimodalmusig_tpu.ops.solvers import CG_ITER_F32_CAP
+
         n_newton = 7 + LAMBDA_POLISH_ITERS
+        cg_iter = min(MK, CG_ITER_F32_CAP)
         f_round = (
             2.0 * MK * MK * D
-            + MK * (2.0 * MK * MK * D + 8.0 * MK * D)
+            + cg_iter * (2.0 * MK * MK * D + 8.0 * MK * D)
             + (3 + _N_BACKTRACK + 2) * 3.0 * MK * D
         )
         f_lambda = n_newton * f_round
