@@ -1,0 +1,90 @@
+"""Example: large-scale multi-restart fitting with pilot-derived compaction.
+
+The production workflow for reference-CLI-default scale (1000 restarts,
+run_mmctm.jl:52) and beyond:
+
+1. run a small PILOT fit (or reuse stage-1 diagnostics) to measure the
+   iteration-to-convergence distribution of this dataset/tolerance;
+2. `suggest_compact_schedule` turns that distribution into 2-phase
+   compaction boundaries (cost model: lane-iterations with power-of-two
+   survivor bucketing plus a per-boundary host round-trip charge);
+3. fit the full restart fleet with `compact_schedule=...` — converged
+   lanes are compacted out on device instead of idling until the slowest
+   straggler finishes (measured 14.5 s -> 9.0 s for BRCA R=1000 on one
+   v5e chip; bit-identical results on CPU, f32-rounding-equivalent on TPU).
+
+    python examples/large_scale.py [--restarts N] [--pilot N]
+"""
+
+import argparse
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+import jax.numpy as jnp
+
+import multimodalmusig_tpu as mm
+from multimodalmusig_tpu.models.mmctm import MMCTMConfig
+from multimodalmusig_tpu.parallel.restarts import (
+    fit_restarts,
+    pick_optimal_modality_restarts,
+    suggest_compact_schedule,
+)
+from multimodalmusig_tpu.utils.fast_tsv import read_counts_tsv
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--data-dir", default="/root/reference/data")
+    ap.add_argument("--restarts", type=int, default=1000)
+    ap.add_argument("--pilot", type=int, default=64)
+    ap.add_argument("--tol", type=float, default=1e-5)
+    args = ap.parse_args()
+
+    X = []
+    for fname in ("brca-eu_snv_counts.tsv", "brca-eu_sv_counts.tsv"):
+        counts, _, _ = read_counts_tsv(os.path.join(args.data_dir, fname))
+        X.append(jnp.asarray(counts.T, jnp.float32))  # (D, V)
+    config = MMCTMConfig(
+        K=(7, 7), V=tuple(x.shape[1] for x in X), D=X[0].shape[0],
+        dtype=jnp.float32,
+    )
+    alpha = jnp.asarray([0.1, 0.1], jnp.float32)
+
+    # 1. pilot: measure the iteration distribution
+    t0 = time.perf_counter()
+    pilot = fit_restarts(
+        jax.random.key(0), tuple(X), config, alpha,
+        restarts=args.pilot, maxiter=1000, tol=args.tol,
+    )
+    iters = np.asarray(pilot.n_iters)
+    print(f"pilot: {args.pilot} restarts in {time.perf_counter()-t0:.2f} s; "
+          f"iterations p50={int(np.median(iters))} max={int(iters.max())}")
+
+    # 2. derive the compaction schedule
+    schedule = suggest_compact_schedule(iters)
+    print(f"suggested compact_schedule: {schedule}")
+
+    # 3. the production fleet
+    t0 = time.perf_counter()
+    result = fit_restarts(
+        jax.random.key(42), tuple(X), config, alpha,
+        restarts=args.restarts, maxiter=1000, tol=args.tol,
+        compact_schedule=schedule or None,
+    )
+    ll = np.asarray(result.ll)
+    t = time.perf_counter() - t0
+    best = np.asarray(pick_optimal_modality_restarts(result.ll))
+    print(f"fleet: {args.restarts} restarts in {t:.2f} s "
+          f"({args.restarts/t:.1f} restarts/s), "
+          f"{int(np.isfinite(ll).all(axis=1).sum())}/{args.restarts} lanes finite")
+    print(f"per-modality best ll: {[float(ll[best[m], m]) for m in range(2)]}")
+
+
+if __name__ == "__main__":
+    main()

@@ -326,3 +326,41 @@ class TestBudgetPlumbing:
         np.testing.assert_allclose(
             np.asarray(m_big.ll), np.asarray(m_default.ll), rtol=1e-3
         )
+
+
+class TestF32CGCapDefault:
+    """Pins the dtype-dependent cg_iter default: float32 caps at
+    CG_ITER_F32_CAP (the f32 PCG residual floors there — measured 18-30%
+    fit speedups, see maximize_lambda docstring), float64 keeps the exact
+    cg_iter = MK Krylov termination that the machine-precision oracle
+    parity tests rely on."""
+
+    def _problem(self, dtype):
+        rng = np.random.default_rng(5)
+        B, MK = 32, 14  # MK above the cap
+        A = rng.normal(size=(MK, MK))
+        invS = jnp.asarray(np.eye(MK) + 0.1 * A @ A.T, dtype)
+        return (
+            jnp.zeros((B, MK), dtype),
+            jnp.asarray(rng.uniform(0.5, 1.5, (B, MK)), dtype),
+            jnp.asarray(rng.uniform(1, 10, (B, MK)), dtype),
+            jnp.asarray(rng.uniform(0, 5, (B, MK)), dtype),
+            jnp.asarray(rng.normal(size=MK), dtype),
+            invS,
+        )
+
+    def test_f32_default_equals_capped_budget(self):
+        args = self._problem(jnp.float32)
+        dflt = np.asarray(solvers.maximize_lambda(*args))
+        capped = np.asarray(
+            solvers.maximize_lambda(*args, cg_iter=solvers.CG_ITER_F32_CAP)
+        )
+        full = np.asarray(solvers.maximize_lambda(*args, cg_iter=14))
+        np.testing.assert_array_equal(dflt, capped)
+        assert not np.array_equal(dflt, full)  # the cap genuinely engages
+
+    def test_f64_default_equals_full_budget(self):
+        args = self._problem(jnp.float64)
+        dflt = np.asarray(solvers.maximize_lambda(*args))
+        full = np.asarray(solvers.maximize_lambda(*args, cg_iter=14))
+        np.testing.assert_array_equal(dflt, full)
