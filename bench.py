@@ -126,8 +126,6 @@ def measure_proxy_iteration_seconds(Xnp, iters=PROXY_ITERS):
 def run_r1000(X, config, alpha):
     """R=1000 (the reference CLI default) with 2-phase compaction; returns
     extra JSON fields, or a note string on failure (never raises)."""
-    import time as _time
-
     import jax
     import numpy as np
 
@@ -140,10 +138,10 @@ def run_r1000(X, config, alpha):
             compact_schedule=R1000_SCHEDULE,
         )
         np.asarray(fit_restarts(key, X, config, alpha, **kwargs).ll)  # warm
-        t0 = _time.perf_counter()
+        t0 = time.perf_counter()
         result = fit_restarts(key, X, config, alpha, **kwargs)
         ll = np.asarray(result.ll)
-        t = _time.perf_counter() - t0
+        t = time.perf_counter() - t0
         return {
             "r1000_restarts_per_sec": round(R1000 / t, 2),
             "r1000_wall_s": round(t, 3),

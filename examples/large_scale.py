@@ -28,7 +28,6 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 import jax
 import jax.numpy as jnp
 
-import multimodalmusig_tpu as mm
 from multimodalmusig_tpu.models.mmctm import MMCTMConfig
 from multimodalmusig_tpu.parallel.restarts import (
     fit_restarts,

@@ -56,8 +56,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument(
         "--progress", "-p", action="store_true",
         help="stream per-chunk restart completion counts (needs "
-        "--chunk-iters: an unchunked fit is a single compiled device "
-        "dispatch with nothing observable until it returns)",
+        "--chunk-iters or --compact-at: an unchunked fit is a single "
+        "compiled device dispatch with nothing observable until it returns)",
     )
     p.add_argument("--seed", "-s", type=int, default=147959412, help="random state seed")
     p.add_argument(

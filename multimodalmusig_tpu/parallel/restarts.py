@@ -252,8 +252,11 @@ def fit_restarts(
     on BRCA) dominates device work. `compact_schedule=(c1, c2, ...)` runs
     all lanes c1 iterations, compacts converged lanes out on device, runs
     c2 more, ... and finishes survivors unbounded once the schedule is
-    exhausted. Results are bit-identical to the single-dispatch fit; each
-    boundary costs one host round-trip. Mutually exclusive with
+    exhausted. Same math as the single-dispatch fit — bit-identical on CPU
+    (tests/test_chunked.py); on TPU the phase programs are separate
+    executables whose f32 rounding differs, which hundreds of CAVI
+    iterations amplify to ~1e-3 on a few lanes' final ll (NOTES.md round 3).
+    Each boundary costs one host round-trip. Mutually exclusive with
     `chunk_iters` (which compacts at a fixed cadence for watchdog bounds).
 
     `progress(done, total)` streams per-round completed-restart counts

@@ -48,7 +48,7 @@ def test_cli_subprocess_end_to_end(tmp_path):
     # (the reference's restart progress bar analogue, run_mmctm.jl:101-104)
     prog = [l for l in out.stderr.splitlines() if "restarts converged" in l]
     assert any("stage 1" in l for l in prog), out.stderr[-2000:]
-    assert any(f"/2 restarts converged" in l for l in prog)
+    assert any("/2 restarts converged" in l for l in prog)
     sigs = pd.read_csv(tmp_path / "sigs.tsv", sep="\t")
     assert {"modality", "topic", "term", "probability"} <= set(sigs.columns)
     props = pd.read_csv(tmp_path / "props.tsv", sep="\t")
