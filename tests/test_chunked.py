@@ -122,3 +122,35 @@ class TestSuggestCompactSchedule:
     def test_handles_empty_and_nan(self):
         assert rmod.suggest_compact_schedule(np.array([])) == ()
         assert rmod.suggest_compact_schedule(np.array([np.nan, np.nan])) == ()
+
+
+def test_two_phase_single_lane_and_maxiter_capped(mmctm_fixture):
+    """Edge cases through the compacted driver: a single restart lane, and
+    lanes that exhaust maxiter without converging (must terminate, report
+    converged=False, and match the single-dispatch fit)."""
+    model = MMCTM(mmctm_fixture["K"], mmctm_fixture["alpha"], mmctm_fixture["X"])
+    alpha = jnp.asarray([0.1, 0.1], model.config.dtype)
+
+    # R=1 with a boundary
+    single = rmod.fit_restarts(
+        jax.random.key(2), model.Xdense, model.config, alpha,
+        restarts=1, maxiter=20, tol=1e-5,
+    )
+    phased = rmod.fit_restarts(
+        jax.random.key(2), model.Xdense, model.config, alpha,
+        restarts=1, maxiter=20, tol=1e-5, compact_schedule=(7,),
+    )
+    np.testing.assert_allclose(np.asarray(single.ll), np.asarray(phased.ll), rtol=1e-12)
+
+    # tol=0 -> nothing converges; every lane runs exactly to maxiter
+    capped = rmod.fit_restarts(
+        jax.random.key(2), model.Xdense, model.config, alpha,
+        restarts=3, maxiter=12, tol=0.0, compact_schedule=(5,),
+    )
+    np.testing.assert_array_equal(np.asarray(capped.n_iters), [12, 12, 12])
+    assert not np.asarray(capped.converged).any()
+    ref = rmod.fit_restarts(
+        jax.random.key(2), model.Xdense, model.config, alpha,
+        restarts=3, maxiter=12, tol=0.0,
+    )
+    np.testing.assert_allclose(np.asarray(capped.ll), np.asarray(ref.ll), rtol=1e-12)
