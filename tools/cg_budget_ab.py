@@ -1,0 +1,68 @@
+"""A/B the lambda-solve inner CG budget (CG_ITER_F32_CAP) on the BRCA fit.
+
+The round-3 measurements behind the f32 cap (ops/solvers.py): interleaved
+repeated arms so tunnel drift cancels. Config's lambda_cg_iter is a static
+jit arg, so each value compiles its own executable — same-process A/B is
+sound here (unlike the env-flag gates, which need subprocess arms).
+
+    python tools/cg_budget_ab.py [cg ...]   # default arms: None(=capped), 14, 8
+"""
+
+import json
+import os
+import sys
+import time
+import dataclasses
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def main(argv):
+    import jax
+    import jax.numpy as jnp
+
+    from bench import load_counts_np
+    from multimodalmusig_tpu.models.mmctm import MMCTMConfig
+    from multimodalmusig_tpu.parallel.restarts import fit_restarts
+
+    Xnp = load_counts_np()
+    base = MMCTMConfig(
+        K=(7, 7), V=(Xnp[0].shape[1], Xnp[1].shape[1]), D=Xnp[0].shape[0],
+        dtype=jnp.float32,
+    )
+    X = tuple(jnp.asarray(x, jnp.float32) for x in Xnp)
+    alpha = jnp.asarray([0.1, 0.1], jnp.float32)
+    key = jax.random.key(147959412)
+    arms = [None if a == "None" else int(a) for a in (argv or ["None", "14", "8"])]
+
+    def timed(cg):
+        cfg = dataclasses.replace(base, lambda_cg_iter=cg)
+        kw = dict(restarts=100, maxiter=1000, tol=1e-5)
+        t0 = time.perf_counter()
+        r = fit_restarts(key, X, cfg, alpha, **kw)
+        ll = np.asarray(r.ll)
+        return time.perf_counter() - t0, r, ll
+
+    for cg in arms:  # warm (compile) every arm first
+        timed(cg)
+    results = {str(cg): [] for cg in arms}
+    for _ in range(3):  # interleave reps so tunnel drift cancels
+        for cg in arms:
+            t, r, ll = timed(cg)
+            results[str(cg)].append(round(t, 3))
+    for cg in arms:
+        _, r, ll = timed(cg)
+        it = np.asarray(r.n_iters)
+        print(json.dumps({
+            "cg": cg, "wall_s": results[str(cg)],
+            "iters_median": int(np.median(it)), "iters_max": int(it.max()),
+            "finite": int(np.isfinite(ll).all(axis=1).sum()),
+            "best_ll": [float(v) for v in ll.max(axis=0)],
+        }))
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])
