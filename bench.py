@@ -51,15 +51,16 @@ PROBE_TIMEOUT = 180.0
 PROXY_ITERS = 2
 METRIC = "mmctm_restarts_per_sec_brca_tol1e-5"
 
-# The reference CLI's default scale (run_mmctm.jl:52) is also measured on
-# accelerators, with the 2-phase straggler compaction. The schedule is what
-# suggest_compact_schedule picks from the measured iteration distribution
-# (boundaries at ~p50 and ~p88 — the first cut lands where survivors drop
-# below the 512 power-of-two bucket): measured on the v5e chip
-# (tools/r1000_two_phase.py): (130, 94) -> 8.98 s = 111 restarts/s, beating
-# hand-tuned (190, 80) at 9.43 s and unchunked at 14.48 s = 69/s.
+# Compaction schedules: what suggest_compact_schedule picks from each
+# scale's measured iteration distribution (first cut where survivors drop
+# below a power-of-two bucket, then two tail cuts). Measured on the v5e chip
+# (tools/r1000_two_phase.py + NOTES.md round 3): R=1000 (131, 51, 98) ->
+# 6.86 s = 146 restarts/s (7.89 s with 2 boundaries, 13.63 s unchunked);
+# R=100 (127, 36, 40) -> 0.80 s = 125/s (0.89 s unchunked) — compaction
+# pays even at R=100 now that boundary gathers are single jitted dispatches.
+R100_SCHEDULE = (127, 36, 40)
 R1000 = 1000
-R1000_SCHEDULE = (130, 94)
+R1000_SCHEDULE = (131, 51, 98)
 
 
 def load_counts_np():
@@ -167,16 +168,18 @@ def run_benchmark(restarts, note=None):
     )
     alpha = jnp.asarray([0.1, 0.1], jnp.float32)
 
-    # R restarts in one compiled vmap on the default device. Warm up with the
-    # *same* program (maxiter is a static arg, so a smaller warmup would
-    # compile a different executable and the timed run would pay cold-start
-    # costs). Unchunked: the whole fit is a single device execution (~2.6 s
-    # warm on the v5e chip) — the host-chunked driver exists for runs long
-    # enough to trip remote-worker watchdogs, and costs ~5x here in tunnel
-    # round-trips (measured: 13.5 s chunked vs 2.6 s unchunked).
+    # R restarts in one compiled vmap on the default device, with the
+    # straggler-compaction schedule on accelerators (identical math; the
+    # CPU fallback stays unchunked — its fleet is small and boundary costs
+    # differ). Warm up with the *same* program (maxiter/schedule are static,
+    # so a different warmup would compile different executables and the
+    # timed run would pay cold-start costs).
     X = tuple(jnp.asarray(x, jnp.float32) for x in Xnp)
     key = jax.random.key(147959412)
-    kwargs = dict(restarts=restarts, maxiter=MAXITER, tol=TOL, chunk_iters=None)
+    kwargs = dict(
+        restarts=restarts, maxiter=MAXITER, tol=TOL,
+        compact_schedule=R100_SCHEDULE if restarts == RESTARTS else None,
+    )
     np.asarray(fit_restarts(key, X, config, alpha, **kwargs).ll)
     t0 = time.perf_counter()
     result = fit_restarts(key, X, config, alpha, **kwargs)

@@ -62,8 +62,8 @@ __all__ = [
 def suggest_compact_schedule(
     iters,
     maxiter: Optional[int] = None,
-    boundary_cost_lane_iters: float = 20_000.0,
-    max_boundaries: int = 2,
+    boundary_cost_lane_iters: float = 8_000.0,
+    max_boundaries: int = 3,
 ):
     """Pick compaction boundaries for `fit_restarts(compact_schedule=...)`
     from a pilot fit's per-lane iteration counts (`FitResult.n_iters`).
@@ -71,12 +71,21 @@ def suggest_compact_schedule(
     A vmapped fit costs (active lanes) x (iterations) of device work per
     phase, with converged lanes padding up to the next power of two after
     each compaction (see _chunked_drive), and each boundary costing one
-    host round-trip (`boundary_cost_lane_iters`, in units of lane-iterations
-    — the BRCA default corresponds to ~0.7 s on the remote-TPU tunnel at
-    ~28k lane-iters/s). This searches boundary placements at the observed
-    iteration counts, exhaustively for 1 boundary and greedily-exact for 2,
-    and returns the schedule as cumulative-budget increments — or () when
-    no boundary beats the single dispatch (e.g. a tight distribution).
+    compaction round-trip (`boundary_cost_lane_iters`, in units of
+    lane-iterations — the default corresponds to the measured ~0.25 s
+    boundary on the remote-TPU tunnel at ~33k lane-iters/s on BRCA).
+    Boundary placement is solved EXACTLY by dynamic programming over the
+    observed iteration counts (shortest path: phase cost =
+    active-bucket x phase length, plus the boundary charge per cut), for up
+    to `max_boundaries` cuts. Returns the schedule as cumulative-budget
+    increments — or () when no boundary beats the single dispatch (e.g. a
+    tight distribution).
+
+    `max_boundaries` defaults to the measured optimum (3 at both BRCA
+    scales): the linear-in-lanes cost model has no small-bucket floor, so
+    beyond ~3 cuts it overestimates the gain from shrinking already-small
+    buckets (per-iteration device time stops scaling below a couple hundred
+    lanes) — a 4th boundary measured strictly slower at R=100 and R=1000.
 
     Workflow: run the pilot at small R (or take stage-1's n_iters), then
     fit the production R with the suggested schedule. The iteration
@@ -98,39 +107,52 @@ def suggest_compact_schedule(
     def bucket(n):
         return 0 if n == 0 else 1 << (int(n) - 1).bit_length()
 
-    # survivors(c) = lanes needing > c iterations
+    # survivors after cut c = lanes needing > c iterations; their padded
+    # power-of-two batch is the active-lane count of the following phase
     sorted_it = np.sort(iters)
+    surv_bucket = np.array(
+        [
+            bucket(R - int(np.searchsorted(sorted_it, c, side="right")))
+            for c in cuts
+        ],
+        dtype=np.float64,
+    )
+    cuts_f = cuts.astype(np.float64)
+    n = cuts.size
+    B = float(boundary_cost_lane_iters)
 
-    def survivors(c):
-        return R - int(np.searchsorted(sorted_it, c, side="right"))
-
-    def cost(bounds):
-        total, prev, lanes = 0.0, 0, R
-        for c in bounds:
-            total += lanes * (c - prev) + boundary_cost_lane_iters
-            prev, lanes = c, bucket(survivors(c))
-        return total + lanes * (hi - prev)
-
-    best_bounds, best_cost = (), float(cost(()))
-    # single boundary: exhaustive
-    for c in cuts:
-        v = cost((int(c),))
-        if v < best_cost:
-            best_cost, best_bounds = v, (int(c),)
-    if max_boundaries >= 2 and best_bounds:
-        # second boundary: exhaustive over cuts after the best first one is
-        # NOT optimal in general, so search the full 2-D grid on the (small)
-        # set of distinct counts
-        for i, c1 in enumerate(cuts):
-            for c2 in cuts[i + 1:]:
-                v = cost((int(c1), int(c2)))
-                if v < best_cost:
-                    best_cost, best_bounds = v, (int(c1), int(c2))
+    # Layered DP: dp[j] = min cost of the phases up to (and including) a
+    # boundary at cuts[j] using EXACTLY k boundaries; transitions add
+    # bucket(survivors(i)) x (c_j - c_i) + B. Exact for any boundary count.
+    best_cost = float(R) * hi            # no boundaries at all
+    best_bounds = ()
+    dp = R * cuts_f + B                  # k = 1
+    parents = []                         # parents[k-2][j] for chains of k >= 2
+    for k in range(1, max_boundaries + 1):
+        finish = dp + surv_bucket * (hi - cuts_f)
+        j = int(np.argmin(finish))
+        if finish[j] < best_cost:
+            best_cost = float(finish[j])
+            chain = [j]
+            for lvl in range(k - 2, -1, -1):
+                chain.append(int(parents[lvl][chain[-1]]))
+            best_bounds = tuple(int(cuts[i]) for i in reversed(chain))
+        if k == max_boundaries:
+            break
+        trans = (
+            dp[:, None]
+            + surv_bucket[:, None] * (cuts_f[None, :] - cuts_f[:, None])
+            + B
+        )
+        trans[np.tril_indices(n)] = np.inf  # predecessor must be earlier
+        prev = np.argmin(trans, axis=0)
+        parents.append(prev)
+        dp = trans[prev, np.arange(n)]
     # cumulative boundaries -> per-phase budget increments
-    out, prev = [], 0
+    out, prev_c = [], 0
     for c in best_bounds:
-        out.append(int(c) - prev)
-        prev = int(c)
+        out.append(int(c) - prev_c)
+        prev_c = int(c)
     return tuple(out)
 
 
@@ -288,6 +310,29 @@ def _repeat_forever(x):
         yield x
 
 
+@jax.jit
+def _gather_tree(tree, idx):
+    """Whole-pytree lane gather as ONE device execution. An eager tree_map
+    gather dispatches once per leaf (~15 leaves for the MMCTM carry), and on
+    a remote-attached accelerator every dispatch costs ~30 ms of tunnel
+    latency — this was most of the measured ~0.45 s per compaction boundary."""
+    return jax.tree_util.tree_map(lambda x: x[idx], tree)
+
+
+@jax.jit
+def _reassemble_tree(groups, keeps, inv):
+    """Concatenate the per-round finished-lane groups (dropping pad
+    duplicates via `keeps`) and restore original restart order, as one
+    device execution per fit instead of one dispatch per leaf."""
+
+    def leaf(*xs):
+        return jnp.concatenate(
+            [x[k] for x, k in zip(xs, keeps)], axis=0
+        )[inv]
+
+    return jax.tree_util.tree_map(leaf, *groups)
+
+
 def _chunked_drive(carries, advance, maxiter, restarts, progress=None,
                    schedule=None):
     """Host loop with LANE COMPACTION over a batched CAVI carry.
@@ -338,10 +383,7 @@ def _chunked_drive(carries, advance, maxiter, restarts, progress=None,
         # (or are finished): gathers are cheap, but skipping no-op chunks
         # avoids pointless dispatches.
         if len(done_pos) > 0:
-            idx = jnp.asarray(done_pos)
-            done_groups.append(
-                jax.tree_util.tree_map(lambda x: x[idx], carries)
-            )
+            done_groups.append(_gather_tree(carries, jnp.asarray(done_pos)))
             done_orders.append(order[done_pos])
         if len(active_pos) == 0:
             break
@@ -349,13 +391,12 @@ def _chunked_drive(carries, advance, maxiter, restarts, progress=None,
         bucket = 1 << (A - 1).bit_length()
         pad = np.concatenate([active_pos, np.repeat(active_pos[:1], bucket - A)])
         order = order[pad]
-        idx = jnp.asarray(pad)
-        carries = jax.tree_util.tree_map(lambda x: x[idx], carries)
+        carries = _gather_tree(carries, jnp.asarray(pad))
 
     # Dedupe pad-duplicate lanes (keep the first finish of each restart),
     # then one device concatenate + inverse-permutation gather.
     seen = set()
-    keep_masks = []
+    keeps = []
     flat_order = []
     for grp_order in done_orders:
         mask = []
@@ -365,20 +406,10 @@ def _chunked_drive(carries, advance, maxiter, restarts, progress=None,
             if fresh:
                 seen.add(o)
                 flat_order.append(o)
-        keep_masks.append(np.asarray(mask, bool))
+        keeps.append(jnp.asarray(np.nonzero(np.asarray(mask, bool))[0]))
     inv = np.empty(restarts, np.int64)
     inv[np.asarray(flat_order)] = np.arange(restarts)
-    inv = jnp.asarray(inv)
-
-    def reassemble(*xs):
-        parts = [
-            x[jnp.asarray(np.nonzero(m)[0])]
-            for x, m in zip(xs, keep_masks)
-            if m.any()
-        ]
-        return jnp.concatenate(parts, axis=0)[inv]
-
-    return jax.tree_util.tree_map(reassemble, *done_groups)
+    return _reassemble_tree(tuple(done_groups), tuple(keeps), jnp.asarray(inv))
 
 
 @partial(jax.jit, static_argnames=("config", "maxiter", "tol", "init_method"))

@@ -82,7 +82,7 @@ class TestSuggestCompactSchedule:
     def test_picks_boundaries_near_measured_optimum(self, rng):
         iters = self._brca_like(rng)
         sched = rmod.suggest_compact_schedule(iters)
-        assert 1 <= len(sched) <= 2
+        assert 1 <= len(sched) <= 3
         # the optimal first boundary sits where survivors drop just below a
         # power of two — for a long-tailed distribution that's in the broad
         # p40-p90 band (the measured on-chip optimum for the real BRCA
