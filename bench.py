@@ -125,8 +125,9 @@ def measure_proxy_iteration_seconds(Xnp, iters=PROXY_ITERS):
 
 
 def run_r1000(X, config, alpha):
-    """R=1000 (the reference CLI default) with 2-phase compaction; returns
-    extra JSON fields, or a note string on failure (never raises)."""
+    """R=1000 (the reference CLI default) with DP-scheduled straggler
+    compaction (R1000_SCHEDULE); returns extra JSON fields, or a note
+    string on failure (never raises)."""
     import jax
     import numpy as np
 

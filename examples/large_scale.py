@@ -5,12 +5,13 @@ run_mmctm.jl:52) and beyond:
 
 1. run a small PILOT fit (or reuse stage-1 diagnostics) to measure the
    iteration-to-convergence distribution of this dataset/tolerance;
-2. `suggest_compact_schedule` turns that distribution into 2-phase
-   compaction boundaries (cost model: lane-iterations with power-of-two
-   survivor bucketing plus a per-boundary host round-trip charge);
+2. `suggest_compact_schedule` turns that distribution into compaction
+   boundaries by exact DP (cost model: lane-iterations with power-of-two
+   survivor bucketing plus a per-boundary round-trip charge; up to 3
+   boundaries by default);
 3. fit the full restart fleet with `compact_schedule=...` — converged
    lanes are compacted out on device instead of idling until the slowest
-   straggler finishes (measured 14.5 s -> 9.0 s for BRCA R=1000 on one
+   straggler finishes (measured 13.6 s -> 6.9 s for BRCA R=1000 on one
    v5e chip; bit-identical results on CPU, f32-rounding-equivalent on TPU).
 
     python examples/large_scale.py [--restarts N] [--pilot N]
@@ -74,7 +75,7 @@ def main():
     result = fit_restarts(
         jax.random.key(42), tuple(X), config, alpha,
         restarts=args.restarts, maxiter=1000, tol=args.tol,
-        compact_schedule=schedule or None,
+        compact_schedule=schedule,  # () means "no boundary pays": unchunked
     )
     ll = np.asarray(result.ll)
     t = time.perf_counter() - t0

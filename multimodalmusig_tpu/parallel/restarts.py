@@ -285,7 +285,7 @@ def fit_restarts(
     (requires `chunk_iters` or `compact_schedule`: an unchunked fit is one
     device dispatch with nothing observable until it returns).
     """
-    if chunk_iters is None and compact_schedule is None:
+    if chunk_iters is None and not compact_schedule:
         return fit_restarts_from_keys(
             jax.random.split(key, restarts), X, config, alpha,
             maxiter=maxiter, tol=tol, init_method=init_method,
@@ -629,7 +629,7 @@ def fit_lda_restarts(
     cfg, Xd = model.config, model.Xdense
     keys = jax.random.split(jax.random.key(seed), restarts)
 
-    if chunk_iters is None and compact_schedule is None:
+    if chunk_iters is None and not compact_schedule:
 
         @partial(jax.jit, static_argnames=())
         def run(keys):
@@ -679,7 +679,7 @@ def fit_ilda_restarts(
     cfg, Xd, F = model.config, model.Xdense, model.F
     keys = jax.random.split(jax.random.key(seed), restarts)
 
-    if chunk_iters is None and compact_schedule is None:
+    if chunk_iters is None and not compact_schedule:
 
         @jax.jit
         def run(keys):
@@ -749,7 +749,7 @@ def fit_immctm_restarts(
         state = immctm_mod.init(key, cfg, [np.zeros(i) for i in cfg.I])
         return state._replace(alpha=alpha_full)
 
-    if chunk_iters is None and compact_schedule is None:
+    if chunk_iters is None and not compact_schedule:
 
         @jax.jit
         def run(keys):

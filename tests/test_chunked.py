@@ -154,3 +154,22 @@ def test_two_phase_single_lane_and_maxiter_capped(mmctm_fixture):
         restarts=3, maxiter=12, tol=0.0,
     )
     np.testing.assert_allclose(np.asarray(capped.ll), np.asarray(ref.ll), rtol=1e-12)
+
+
+def test_empty_schedule_takes_single_dispatch_path(mmctm_fixture, monkeypatch):
+    """compact_schedule=() — suggest_compact_schedule's 'no boundary pays'
+    answer — must route to the single-dispatch fit, not the chunked driver
+    (which would add round-trips and, on TPU, a differently-rounded
+    executable for zero compaction)."""
+    model = MMCTM(mmctm_fixture["K"], mmctm_fixture["alpha"], mmctm_fixture["X"])
+    alpha = jnp.asarray([0.1, 0.1], model.config.dtype)
+
+    def boom(*a, **k):
+        raise AssertionError("chunked driver must not run for an empty schedule")
+
+    monkeypatch.setattr(rmod, "_chunked_drive", boom)
+    result = rmod.fit_restarts(
+        jax.random.key(1), model.Xdense, model.config, alpha,
+        restarts=2, maxiter=5, compact_schedule=(),
+    )
+    assert np.isfinite(np.asarray(result.ll)).all()

@@ -49,12 +49,14 @@ def main(argv):
     for cg in arms:  # warm (compile) every arm first
         timed(cg)
     results = {str(cg): [] for cg in arms}
+    last = {}
     for _ in range(3):  # interleave reps so tunnel drift cancels
         for cg in arms:
             t, r, ll = timed(cg)
             results[str(cg)].append(round(t, 3))
+            last[str(cg)] = (r, ll)
     for cg in arms:
-        _, r, ll = timed(cg)
+        r, ll = last[str(cg)]  # stats from the final rep (no extra fit)
         it = np.asarray(r.n_iters)
         print(json.dumps({
             "cg": cg, "wall_s": results[str(cg)],
