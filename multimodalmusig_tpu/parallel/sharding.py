@@ -213,9 +213,13 @@ def dryrun_multichip(n_devices: int) -> None:
     n_data = n_devices // n_restart
     mesh = make_mesh(n_restart, n_data, devices)
 
-    # tiny flagship-shaped problem: 2 modalities, K=[2,2], 8 docs
-    # (V divisible by n_devices so the vocab-sharded step below can split it)
-    config = MMCTMConfig(K=(2, 2), V=(8, 8), D=8, dtype=jnp.float32)
+    # tiny flagship-shaped problem: 2 modalities, K=[2,2]; D and V scale
+    # with the mesh so every sharded axis stays divisible (D by the full
+    # flattened "data" mesh in sharded_data_parallel_fit, V by the flat
+    # "vocab" mesh below)
+    D = max(8, 2 * n_devices)
+    V = max(8, n_devices)
+    config = MMCTMConfig(K=(2, 2), V=(V, V), D=D, dtype=jnp.float32)
     rng = np.random.default_rng(0)
     X = tuple(
         jnp.asarray(rng.integers(0, 5, size=(config.D, V)), jnp.float32)
