@@ -373,8 +373,10 @@ def _chunked_drive(carries, advance, maxiter, restarts, progress=None,
     done_orders = []   # their original restart indices
     while True:
         carries = advance(carries, next(budgets, None))
-        it = np.asarray(carries[2])
-        done = np.asarray(carries[3]) | (it >= maxiter)
+        # one batched host transfer for both control vectors (each separate
+        # np.asarray is its own round-trip on a remote-attached device)
+        it, done = jax.device_get((carries[2], carries[3]))
+        done = done | (it >= maxiter)
         done_pos = np.nonzero(done)[0]
         active_pos = np.nonzero(~done)[0]
         if progress is not None:
