@@ -65,28 +65,28 @@ R1000_SCHEDULE = (131, 51, 98)
 
 def load_counts_np():
     """(D,V) float32 numpy count matrices for SNV+SV (no JAX touched)."""
+    from multimodalmusig_tpu.utils.data import brca_counts_path
     from multimodalmusig_tpu.utils.fast_tsv import read_counts_tsv
 
-    data_dir = "/root/reference/data"
-    if not os.path.isdir(data_dir):
-        data_dir = os.path.join(os.path.dirname(__file__), "data")
     rows = []
     for fname in ("brca-eu_snv_counts.tsv", "brca-eu_sv_counts.tsv"):
-        counts, _, _ = read_counts_tsv(os.path.join(data_dir, fname))
+        counts, _, _ = read_counts_tsv(brca_counts_path(fname))
         rows.append(counts.T)  # (D, V)
     return rows
 
 
 def _pinned_proxy_floor():
     """The recorded all-time-minimum proxy s/iter (BASELINE.json
-    pinned_proxy.floor_s_per_iter); falls back to the round-3 calibration
-    constant if the file is missing."""
+    pinned_proxy.floor_s_per_iter). Returns (floor, source): source is
+    "BASELINE.json" normally, "fallback" when the file is missing/corrupt —
+    surfaced in the JSON so a stale hard-coded constant is never mistaken
+    for the recorded calibration."""
     try:
         with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                "BASELINE.json")) as f:
-            return float(json.load(f)["pinned_proxy"]["floor_s_per_iter"])
+            return float(json.load(f)["pinned_proxy"]["floor_s_per_iter"]), "BASELINE.json"
     except Exception:
-        return 7.0
+        return 7.0, "fallback"
 
 
 def measure_proxy_iteration_seconds(Xnp, iters=PROXY_ITERS):
@@ -199,7 +199,7 @@ def run_benchmark(restarts, note=None):
     # stable across runs and the most conservative claimable number.
     per_iter_proxy = measure_proxy_iteration_seconds(Xnp)
     t_ref_restart = per_iter_proxy * median_iters
-    pinned_floor = _pinned_proxy_floor()
+    pinned_floor, pinned_floor_source = _pinned_proxy_floor()
     t_ref_pinned = pinned_floor * median_iters
 
     value = restarts / t_accel
@@ -211,6 +211,8 @@ def run_benchmark(restarts, note=None):
         "vs_baseline_pinned": round(value * t_ref_pinned, 4),
         "vs_baseline_live": round(value * t_ref_restart, 4),
     }
+    if pinned_floor_source != "BASELINE.json":
+        out["pinned_floor_source"] = pinned_floor_source
     if note:
         out["note"] = note
     if restarts == RESTARTS:  # accelerator run: also measure the R=1000 scale

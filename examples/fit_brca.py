@@ -20,6 +20,7 @@ import multimodalmusig_tpu as mm
 from multimodalmusig_tpu.parallel.restarts import fit_ilda_restarts, fit_lda_restarts
 from multimodalmusig_tpu.utils.fast_tsv import read_counts_tsv
 from multimodalmusig_tpu.utils.formatting import make_count_matrix
+from multimodalmusig_tpu.utils.data import brca_data_dir
 
 
 def snv_features(terms):
@@ -39,9 +40,12 @@ def snv_features(terms):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--data-dir", default="/root/reference/data")
+    ap.add_argument("--data-dir", default=None,
+        help="counts directory (default: the bundled data/ TSVs)")
     ap.add_argument("--restarts", type=int, default=20)
     args = ap.parse_args()
+    if args.data_dir is None:
+        args.data_dir = brca_data_dir()
 
     snv, snv_terms, samples = read_counts_tsv(
         os.path.join(args.data_dir, "brca-eu_snv_counts.tsv")

@@ -36,15 +36,19 @@ from multimodalmusig_tpu.parallel.restarts import (
     suggest_compact_schedule,
 )
 from multimodalmusig_tpu.utils.fast_tsv import read_counts_tsv
+from multimodalmusig_tpu.utils.data import brca_data_dir
 
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--data-dir", default="/root/reference/data")
+    ap.add_argument("--data-dir", default=None,
+        help="counts directory (default: the bundled data/ TSVs)")
     ap.add_argument("--restarts", type=int, default=1000)
     ap.add_argument("--pilot", type=int, default=64)
     ap.add_argument("--tol", type=float, default=1e-5)
     args = ap.parse_args()
+    if args.data_dir is None:
+        args.data_dir = brca_data_dir()
 
     X = []
     for fname in ("brca-eu_snv_counts.tsv", "brca-eu_sv_counts.tsv"):

@@ -16,14 +16,18 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 from multimodalmusig_tpu.model_selection import select_k_mmctm
 from multimodalmusig_tpu.utils.fast_tsv import read_counts_tsv
 from multimodalmusig_tpu.utils.formatting import make_count_matrix
+from multimodalmusig_tpu.utils.data import brca_data_dir
 
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--data-dir", default="/root/reference/data")
+    ap.add_argument("--data-dir", default=None,
+        help="counts directory (default: the bundled data/ TSVs)")
     ap.add_argument("--restarts", type=int, default=8)
     ap.add_argument("--samples", type=int, default=120)
     args = ap.parse_args()
+    if args.data_dir is None:
+        args.data_dir = brca_data_dir()
 
     snv, _, samples = read_counts_tsv(os.path.join(args.data_dir, "brca-eu_snv_counts.tsv"))
     sv, _, _ = read_counts_tsv(os.path.join(args.data_dir, "brca-eu_sv_counts.tsv"))

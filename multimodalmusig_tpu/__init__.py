@@ -32,7 +32,9 @@ from .utils.formatting import (
 )
 from .utils.io import load_model, save_model
 
-__version__ = "0.1.0"
+# Single source of the version: pyproject.toml reads this attribute via
+# [tool.setuptools.dynamic] (matches the reference Project.toml:4 v0.3.0).
+__version__ = "0.3.0"
 
 __all__ = [
     "LDA",

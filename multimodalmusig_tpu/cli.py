@@ -168,9 +168,11 @@ def main(argv=None) -> int:
     if args.progress:
         if args.chunk_iters or args.compact_at:
             def progress(stage, done, total):
+                # "completed", not "converged": the chunked driver also counts
+                # lanes that hit maxiter without converging as done
                 print(
                     f"run-mmctm: stage {stage}: {done}/{total} restarts "
-                    "converged",
+                    "completed",
                     file=sys.stderr,
                 )
         else:

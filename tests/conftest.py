@@ -31,13 +31,16 @@ import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
 
-# Bundled BRCA-EU reference data (only present when the upstream checkout is
-# available, e.g. the build machine). Tests that fit real data skip cleanly
-# elsewhere (e.g. CI runners) — the math oracles below never need it.
-BRCA_DATA_DIR = "/root/reference/data"
+# Bundled BRCA-EU data: shipped in-repo under data/ (BSD-2, same files the
+# reference bundles), with the read-only upstream mount as fallback — a bare
+# clone runs the real-data tests. The skip guard remains for stripped
+# checkouts without the data directory.
+from multimodalmusig_tpu.utils.data import brca_data_dir  # noqa: E402
+
+BRCA_DATA_DIR = brca_data_dir()
 requires_brca_data = pytest.mark.skipif(
     not os.path.isfile(os.path.join(BRCA_DATA_DIR, "brca-eu_snv_counts.tsv")),
-    reason="BRCA-EU reference data not present on this machine",
+    reason="BRCA-EU data not present (stripped checkout)",
 )
 
 

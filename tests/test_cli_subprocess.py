@@ -6,6 +6,7 @@ import subprocess
 import sys
 
 import numpy as np
+from multimodalmusig_tpu.utils.data import brca_counts_path
 import pandas as pd
 
 
@@ -14,8 +15,8 @@ from conftest import requires_brca_data
 
 @requires_brca_data
 def test_cli_subprocess_end_to_end(tmp_path):
-    snv = pd.read_csv("/root/reference/data/brca-eu_snv_counts.tsv", sep="\t")
-    sv = pd.read_csv("/root/reference/data/brca-eu_sv_counts.tsv", sep="\t")
+    snv = pd.read_csv(brca_counts_path("brca-eu_snv_counts.tsv"), sep="\t")
+    sv = pd.read_csv(brca_counts_path("brca-eu_sv_counts.tsv"), sep="\t")
     cols = ["term"] + list(snv.columns[1:9])
     snv_path, sv_path = str(tmp_path / "snv.tsv"), str(tmp_path / "sv.tsv")
     snv[cols].to_csv(snv_path, sep="\t", index=False)
@@ -46,9 +47,9 @@ def test_cli_subprocess_end_to_end(tmp_path):
     assert "Log-likelihoods" in out.stdout
     # --progress with --chunk-iters streams per-chunk completion counts
     # (the reference's restart progress bar analogue, run_mmctm.jl:101-104)
-    prog = [l for l in out.stderr.splitlines() if "restarts converged" in l]
+    prog = [l for l in out.stderr.splitlines() if "restarts completed" in l]
     assert any("stage 1" in l for l in prog), out.stderr[-2000:]
-    assert any("/2 restarts converged" in l for l in prog)
+    assert any("/2 restarts completed" in l for l in prog)
     sigs = pd.read_csv(tmp_path / "sigs.tsv", sep="\t")
     assert {"modality", "topic", "term", "probability"} <= set(sigs.columns)
     props = pd.read_csv(tmp_path / "props.tsv", sep="\t")

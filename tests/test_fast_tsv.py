@@ -8,7 +8,9 @@ from multimodalmusig_tpu.utils import fast_tsv
 
 from conftest import requires_brca_data
 
-SNV = "/root/reference/data/brca-eu_snv_counts.tsv"
+from multimodalmusig_tpu.utils.data import brca_counts_path
+
+SNV = brca_counts_path("brca-eu_snv_counts.tsv")
 
 
 def test_native_builds():

@@ -2,6 +2,7 @@
 run_mmctm.jl:272-274 and the TSV writers at run_mmctm.jl:184-240)."""
 
 import numpy as np
+from multimodalmusig_tpu.utils.data import brca_counts_path
 import pytest
 
 from conftest import requires_brca_data
@@ -121,8 +122,8 @@ class TestCLI:
 
         from multimodalmusig_tpu import cli
 
-        snv = pd.read_csv("/root/reference/data/brca-eu_snv_counts.tsv", sep="\t")
-        sv = pd.read_csv("/root/reference/data/brca-eu_sv_counts.tsv", sep="\t")
+        snv = pd.read_csv(brca_counts_path("brca-eu_snv_counts.tsv"), sep="\t")
+        sv = pd.read_csv(brca_counts_path("brca-eu_sv_counts.tsv"), sep="\t")
         cols = ["term"] + list(snv.columns[1:13])
         snv_path, sv_path = str(tmp_path / "snv.tsv"), str(tmp_path / "sv.tsv")
         snv[cols].to_csv(snv_path, sep="\t", index=False)

@@ -5,6 +5,7 @@ signature recovery, multi-modality configs)."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+from multimodalmusig_tpu.utils.data import brca_counts_path
 import pytest
 
 from conftest import requires_brca_data
@@ -126,7 +127,7 @@ class TestBRCAEndToEnd:
 
         from multimodalmusig_tpu import format_counts_lda
 
-        snv = pd.read_csv("/root/reference/data/brca-eu_snv_counts.tsv", sep="\t")
+        snv = pd.read_csv(brca_counts_path("brca-eu_snv_counts.tsv"), sep="\t")
         cols = list(snv.columns[1:31])
         X = format_counts_lda(snv, cols)
         model = LDA(5, 0.1, 0.1, X)
@@ -141,8 +142,8 @@ class TestBRCAEndToEnd:
 
         from multimodalmusig_tpu import format_counts_mmctm
 
-        snv = pd.read_csv("/root/reference/data/brca-eu_snv_counts.tsv", sep="\t")
-        sv = pd.read_csv("/root/reference/data/brca-eu_sv_counts.tsv", sep="\t")
+        snv = pd.read_csv(brca_counts_path("brca-eu_snv_counts.tsv"), sep="\t")
+        sv = pd.read_csv(brca_counts_path("brca-eu_sv_counts.tsv"), sep="\t")
         cols = list(snv.columns[1:21])
         X = format_counts_mmctm([snv, sv], cols)
         model = MMCTM([3, 3], [0.1, 0.1], X)

@@ -36,12 +36,13 @@ from multimodalmusig_tpu.models.ctm_base import (
 from multimodalmusig_tpu.models.mmctm import MMCTMConfig, init_with_alpha
 from multimodalmusig_tpu.ops.solvers import maximize_lambda
 from multimodalmusig_tpu.utils.fast_tsv import read_counts_tsv
+from multimodalmusig_tpu.utils.data import brca_counts_path
 
 
 def main(outer_iters=30, n_iter_settings=(20, 14, 10, 8, 6)):
     Xnp = []
     for fname in ("brca-eu_snv_counts.tsv", "brca-eu_sv_counts.tsv"):
-        counts, _, _ = read_counts_tsv(f"/root/reference/data/{fname}")
+        counts, _, _ = read_counts_tsv(brca_counts_path(fname))
         Xnp.append(counts.T[:128])  # subset of docs for speed
     D = Xnp[0].shape[0]
     config = MMCTMConfig(

@@ -12,6 +12,7 @@ import sys
 import time
 
 import numpy as np
+from multimodalmusig_tpu.utils.data import brca_counts_path
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -31,7 +32,7 @@ def main(restarts=100, dtype="float32", platform=None):
     dt = jnp.float32 if dtype == "float32" else jnp.float64
     Xnp = []
     for fname in ("brca-eu_snv_counts.tsv", "brca-eu_sv_counts.tsv"):
-        counts, _, _ = read_counts_tsv(f"/root/reference/data/{fname}")
+        counts, _, _ = read_counts_tsv(brca_counts_path(fname))
         Xnp.append(counts.T)
     D = Xnp[0].shape[0]
     config = MMCTMConfig(K=(7, 7), V=(Xnp[0].shape[1], Xnp[1].shape[1]), D=D, dtype=dt)

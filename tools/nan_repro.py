@@ -24,12 +24,13 @@ from multimodalmusig_tpu.models import mmctm as mmod
 from multimodalmusig_tpu.models.ctm_base import counts_per_doc
 from multimodalmusig_tpu.models.mmctm import MMCTMConfig, init_with_alpha
 from multimodalmusig_tpu.utils.fast_tsv import read_counts_tsv
+from multimodalmusig_tpu.utils.data import brca_counts_path
 
 
 def main(lane=20, iters=1000):
     Xnp = []
     for fname in ("brca-eu_snv_counts.tsv", "brca-eu_sv_counts.tsv"):
-        counts, _, _ = read_counts_tsv(f"/root/reference/data/{fname}")
+        counts, _, _ = read_counts_tsv(brca_counts_path(fname))
         Xnp.append(counts.T)
     D = Xnp[0].shape[0]
     config = MMCTMConfig(

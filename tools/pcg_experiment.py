@@ -32,13 +32,14 @@ from multimodalmusig_tpu.models.ctm_base import (
 )
 from multimodalmusig_tpu.models.mmctm import MMCTMConfig, init_with_alpha
 from multimodalmusig_tpu.utils.fast_tsv import read_counts_tsv
+from multimodalmusig_tpu.utils.data import brca_counts_path
 
 
 def harvest_systems(outer_iters=40, probe_at=(1, 3, 10, 25, 40)):
     """Run a BRCA fit; at probe points capture (w, g, invSigma) batches."""
     Xnp = []
     for fname in ("brca-eu_snv_counts.tsv", "brca-eu_sv_counts.tsv"):
-        counts, _, _ = read_counts_tsv(f"/root/reference/data/{fname}")
+        counts, _, _ = read_counts_tsv(brca_counts_path(fname))
         Xnp.append(counts.T[:256])
     D = Xnp[0].shape[0]
     config = MMCTMConfig(

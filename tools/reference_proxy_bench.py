@@ -112,10 +112,11 @@ def main():
     args = ap.parse_args()
 
     from multimodalmusig_tpu.utils.fast_tsv import read_counts_tsv
+    from multimodalmusig_tpu.utils.data import brca_counts_path
     from multimodalmusig_tpu.utils.formatting import make_count_matrix
 
-    snv, _, samples = read_counts_tsv("/root/reference/data/brca-eu_snv_counts.tsv")
-    sv, _, _ = read_counts_tsv("/root/reference/data/brca-eu_sv_counts.tsv")
+    snv, _, samples = read_counts_tsv(brca_counts_path("brca-eu_snv_counts.tsv"))
+    sv, _, _ = read_counts_tsv(brca_counts_path("brca-eu_sv_counts.tsv"))
     D = min(args.docs, len(samples))
     K = [7, 7]
     MK = sum(K)
