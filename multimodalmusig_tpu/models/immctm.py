@@ -45,6 +45,7 @@ from .ctm_base import (
     props_from_lam,
     run_cavi as _run_cavi,
     solve_eta,
+    theta_moments,
     spd_inverse as _spd_inverse,
     update_Sigma_mats,
     update_mu_vec,
@@ -227,6 +228,53 @@ def e_step(
     )
 
 
+def e_step_moments(
+    state: IMMCTMState,
+    X: Sequence[jnp.ndarray],
+    N: jnp.ndarray,
+    F: Sequence[Sequence[jnp.ndarray]],
+    config: IMMCTMConfig,
+    logw_fn=None,
+    want_scatter: bool = True,
+):
+    """`e_step` computing only the θ moments the iteration consumes, via the
+    exact exp-factorized matmul schedule (ctm_base.theta_moments) — the
+    feature product Π_i exp(Elnϕ) is already collapsed into the (V_m, K_m)
+    logw table, so the factorization carries over from MMCTM unchanged.
+    `MUSIG_THETA_FACTORIZED=0` pins the materializing path for A/B runs.
+    Returns (state, scatters tuple of (K_m, V_m) or None)."""
+    from ..ops import flags
+
+    logw = (
+        smoothed_logw(state, F, config) if logw_fn is None else logw_fn(state)
+    )
+    if flags.THETA_FACTORIZED:
+        sumtheta, scatters = theta_moments(
+            state.lam, logw, X, config, want_scatter
+        )
+    else:
+        theta = theta_from(state.lam, logw, config)
+        sumtheta = calculate_sumtheta(theta, X, config)
+        scatters = (
+            tuple(
+                jnp.einsum(
+                    "dv,dvk->kv", X[m], theta[m],
+                    preferred_element_type=config.dtype,
+                )
+                for m in range(config.M)
+            )
+            if want_scatter
+            else None
+        )
+    zeta, nu, lam = solve_eta(
+        state.lam, state.nu, N, sumtheta, state.mu, state.invSigma, config
+    )
+    return (
+        state._replace(zeta=zeta, lam_pre=state.lam, logw_pre=logw, nu=nu, lam=lam),
+        scatters,
+    )
+
+
 # ---------------------------------------------------------------------------
 # M-step (src/IMMCTM.jl:174-244)
 # ---------------------------------------------------------------------------
@@ -238,15 +286,23 @@ def update_gamma(
     F: Sequence[Sequence[jnp.ndarray]],
     config: IMMCTMConfig,
     theta: Sequence[jnp.ndarray] = None,
+    scatter: Sequence[jnp.ndarray] = None,
 ) -> IMMCTMState:
-    """γ_m,i[k,j] = α_m,i + (Σ_d X·θ) @ F_m,i (src/IMMCTM.jl:199-223)."""
-    if theta is None:
-        theta = reconstruct_theta(state, config)
+    """γ_m,i[k,j] = α_m,i + (Σ_d X·θ) @ F_m,i (src/IMMCTM.jl:199-223).
+    `scatter` supplies the (K_m, V_m) count-weighted sums directly (the
+    factorized-moments path) instead of contracting θ here."""
+    if scatter is None:
+        if theta is None:
+            theta = reconstruct_theta(state, config)
+        scatter = tuple(
+            jnp.einsum(
+                "dv,dvk->kv", X[m], theta[m], preferred_element_type=config.dtype
+            )
+            for m in range(config.M)
+        )
     gamma = []
     for m in range(config.M):
-        W = jnp.einsum(
-            "dv,dvk->kv", X[m], theta[m], preferred_element_type=config.dtype
-        )
+        W = scatter[m]
         gamma.append(
             tuple(state.alpha[m][i] + W @ F[m][i] for i in range(config.I[m]))
         )
@@ -396,12 +452,12 @@ def fit_step_fn(
     driver (parallel/restarts.py)."""
 
     def step(s):
-        s, theta = e_step(s, X, N, F, config)
+        s, scatters = e_step_moments(s, X, N, F, config)
         s = s._replace(mu=update_mu_vec(s.lam))
         if update_sigma:
             Sigma, invSigma = update_Sigma_mats(s.lam, s.nu, s.mu, config.D)
             s = s._replace(Sigma=Sigma, invSigma=invSigma)
-        s = update_gamma(s, X, F, config, theta)
+        s = update_gamma(s, X, F, config, scatter=scatters)
         if autoalpha:
             s = update_alpha(s, config)
         ll_i = modality_loglikelihoods(X, s.lam, s.gamma, F, config)
@@ -459,7 +515,7 @@ def fit_heldout_states(
     )
 
     def step(s):
-        s, _ = e_step(s, Xheldout, N, F, config)
+        s, _ = e_step_moments(s, Xheldout, N, F, config, want_scatter=False)
         ll_i = modality_loglikelihoods(Xheldout, s.lam, s.gamma, F, config)
         return s, ll_i
 
@@ -498,7 +554,10 @@ def transform_states(
     logw_phi = unsmoothed_logw(phi_point(trained.gamma), F, config)
 
     def step(s):
-        s, _ = e_step(s, Xnew, N, F, config, logw_fn=lambda st: logw_phi)
+        s, _ = e_step_moments(
+            s, Xnew, N, F, config, logw_fn=lambda st: logw_phi,
+            want_scatter=False,
+        )
         if fit_gaussian:
             s = s._replace(mu=update_mu_vec(s.lam))
             Sigma, invSigma = update_Sigma_mats(s.lam, s.nu, s.mu, config.D)
@@ -549,7 +608,7 @@ def predict_modality_eta_states(
     )
 
     def step(s):
-        s, _ = e_step(s, Xobs, N, Fobs, obs_config)
+        s, _ = e_step_moments(s, Xobs, N, Fobs, obs_config, want_scatter=False)
         ll_i = modality_loglikelihoods(Xobs, s.lam, s.gamma, Fobs, obs_config)
         return s, ll_i
 

@@ -64,6 +64,7 @@ from .ctm_base import (
     props_from_lam,
     run_cavi as _run_cavi_base,
     solve_eta,
+    theta_moments,
     spd_inverse as _spd_inverse,
     update_Sigma_mats,
     update_mu_vec,
@@ -253,6 +254,10 @@ def e_step(
     pre-update λ; both solvers use the ζ from the start of the E-step; the
     ν solve uses the pre-update λ. Returns (state, θ) — θ is a per-iteration
     local, never carried (see MMCTMState docstring).
+
+    This is the materializing form (tests and consumers that want θ itself);
+    the fit loops use `e_step_moments`, which computes the θ moments via the
+    exact softmax factorization without building the (D, V, K) tensor.
     """
     logw = logw_fn(state)
     theta = theta_from(state.lam, logw, config)
@@ -263,6 +268,49 @@ def e_step(
     return (
         state._replace(zeta=zeta, lam_pre=state.lam, logw_pre=logw, nu=nu, lam=lam),
         theta,
+    )
+
+
+def e_step_moments(
+    state: MMCTMState,
+    X: Sequence[jnp.ndarray],
+    N: jnp.ndarray,
+    config: MMCTMConfig,
+    logw_fn=smoothed_logw,
+    want_scatter: bool = True,
+):
+    """`e_step` computing only the θ moments the CAVI iteration consumes:
+    sumθ for the λ solve and (optionally) the γ scatter. Default path is the
+    exp-factorized matmul schedule (ctm_base.theta_moments — exact same
+    math, ~64× fewer exps on BRCA); `MUSIG_THETA_FACTORIZED=0` pins the
+    materializing einsum path for A/B runs. Returns (state, scatters)."""
+    from ..ops import flags
+
+    logw = logw_fn(state)
+    if flags.THETA_FACTORIZED:
+        sumtheta, scatters = theta_moments(
+            state.lam, logw, X, config, want_scatter
+        )
+    else:
+        theta = theta_from(state.lam, logw, config)
+        sumtheta = calculate_sumtheta(theta, X, config)
+        scatters = (
+            tuple(
+                jnp.einsum(
+                    "dv,dvk->kv", X[m], theta[m],
+                    preferred_element_type=config.dtype,
+                )
+                for m in range(config.M)
+            )
+            if want_scatter
+            else None
+        )
+    zeta, nu, lam = solve_eta(
+        state.lam, state.nu, N, sumtheta, state.mu, state.invSigma, config
+    )
+    return (
+        state._replace(zeta=zeta, lam_pre=state.lam, logw_pre=logw, nu=nu, lam=lam),
+        scatters,
     )
 
 
@@ -516,11 +564,11 @@ def fit_step_fn(
                 s, X, config, scatter=tuple(mo[1] for mo in moments)
             )
         else:
-            s, theta = e_step(s, X, N, config)
+            s, scatters = e_step_moments(s, X, N, config)
             s = update_mu(s)
             if update_sigma:
                 s = update_Sigma(s, config)
-            s = update_gamma(s, X, config, theta)
+            s = update_gamma(s, X, config, scatter=scatters)
         if autoalpha:
             s = update_alpha(s, config)
         ll_i = modality_loglikelihoods(X, props_from(s.lam, config), phi_point(s.gamma))
@@ -592,7 +640,9 @@ def transform_states(
     logw_phi = unsmoothed_logw(phi)
 
     def step(s):
-        s, _ = e_step(s, Xnew, N, config, logw_fn=lambda st: logw_phi)
+        s, _ = e_step_moments(
+            s, Xnew, N, config, logw_fn=lambda st: logw_phi, want_scatter=False
+        )
         if fit_gaussian:
             s = update_mu(s)
             s = update_Sigma(s, config)
@@ -634,7 +684,7 @@ def fit_heldout_states(
     phi = phi_point(trained.gamma)
 
     def step(s):
-        s, _ = e_step(s, Xheldout, N, config)
+        s, _ = e_step_moments(s, Xheldout, N, config, want_scatter=False)
         ll_i = modality_loglikelihoods(Xheldout, props_from(s.lam, config), phi)
         return s, ll_i
 
@@ -685,7 +735,7 @@ def predict_modality_eta_states(
     phi = phi_point(obs_state.gamma)
 
     def step(s):
-        s, _ = e_step(s, Xobs, N, obs_config)
+        s, _ = e_step_moments(s, Xobs, N, obs_config, want_scatter=False)
         ll_i = modality_loglikelihoods(Xobs, props_from(s.lam, obs_config), phi)
         return s, ll_i
 

@@ -26,3 +26,9 @@ PALLAS_ESTEP = os.environ.get("MUSIG_PALLAS_ESTEP", "0") == "1"
 # MUSIG_PALLAS_THETA=1: fused θ-moments kernel (measured slower than XLA's
 # fusion at BRCA shapes; opt-in — models/mmctm.py _use_theta_moments).
 PALLAS_THETA = os.environ.get("MUSIG_PALLAS_THETA", "0") == "1"
+
+# MUSIG_THETA_FACTORIZED=0: fall back to materializing the (D, V, K) θ
+# softmax in the hot fit loops instead of the exp-factorized moments
+# (ctm_base.theta_moments — exact same math on a matmul schedule; default
+# on everywhere). The off switch exists for A/B measurement only.
+THETA_FACTORIZED = os.environ.get("MUSIG_THETA_FACTORIZED", "1") == "1"

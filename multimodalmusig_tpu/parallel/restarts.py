@@ -355,24 +355,40 @@ def _chunked_drive(carries, advance, maxiter, restarts, progress=None,
     boundaries beat many small ones on remote-attached accelerators).
 
     Everything stays ON DEVICE: the only host transfers are the tiny
-    (iteration, converged) vectors that drive compaction, and finished-lane
-    groups are device-gathered and re-assembled with one final concatenate +
+    (iteration, converged) vectors that drive compaction; each boundary is
+    ONE fused dispatch (done-lane gather + survivor re-pack + next advance),
+    and finished-lane groups are re-assembled with one final concatenate +
     permutation gather. (The first version of this loop pulled every
     finished lane to the host between chunks; on a remote-attached
     accelerator those transfers dominated — 13.5 s vs 2.6 s for the whole
-    100-restart benchmark fit.)
+    100-restart benchmark fit. The second issued 3 dispatches per boundary;
+    fusing them into one cut the measured boundary cost further — each
+    dispatch costs ~28 ms of tunnel latency before any work runs.)
 
     `progress(done, total)` is called after every chunk with the number of
     unique finished restarts — the analogue of the reference's per-restart
     progress bar over its pmap (run_mmctm.jl:101-104), which a single
     compiled dispatch cannot stream but the chunk boundary gives for free.
     """
+    # Fused boundary: done-lane gather + survivor re-pack + next advance as
+    # ONE jitted dispatch (round-3 boundaries were 3 dispatches + the host
+    # sync — ~28 ms tunnel latency each on a remote-attached device). The
+    # budget is static (the wrapped advance needs a Python int for its
+    # while_loop bound), so each (shapes, budget) pair compiles once —
+    # exactly the executables the unfused path compiled, now including the
+    # two gathers.
+    @partial(jax.jit, static_argnames=("b",))
+    def _boundary(c, done_idx, pad_idx, b):
+        done_grp = jax.tree_util.tree_map(lambda x: x[done_idx], c)
+        packed = jax.tree_util.tree_map(lambda x: x[pad_idx], c)
+        return done_grp, advance(packed, b)
+
     budgets = iter(schedule) if schedule is not None else iter(())
     order = np.arange(restarts)
     done_groups = []   # device pytrees, each a batch of finished lanes
     done_orders = []   # their original restart indices
+    carries = advance(carries, next(budgets, None))
     while True:
-        carries = advance(carries, next(budgets, None))
         # one batched host transfer for both control vectors (each separate
         # np.asarray is its own round-trip on a remote-attached device)
         it, done = jax.device_get((carries[2], carries[3]))
@@ -381,19 +397,25 @@ def _chunked_drive(carries, advance, maxiter, restarts, progress=None,
         active_pos = np.nonzero(~done)[0]
         if progress is not None:
             progress(restarts - np.unique(order[active_pos]).size, restarts)
-        # Gather finished lanes on device only when we'd shrink the batch
-        # (or are finished): gathers are cheap, but skipping no-op chunks
-        # avoids pointless dispatches.
-        if len(done_pos) > 0:
-            done_groups.append(_gather_tree(carries, jnp.asarray(done_pos)))
-            done_orders.append(order[done_pos])
         if len(active_pos) == 0:
+            if len(done_pos) > 0:
+                done_groups.append(_gather_tree(carries, jnp.asarray(done_pos)))
+                done_orders.append(order[done_pos])
             break
+        budget = next(budgets, None)
+        if len(done_pos) == 0:
+            # nothing to compact — a plain advance, no repack dispatch
+            carries = advance(carries, budget)
+            continue
         A = len(active_pos)
         bucket = 1 << (A - 1).bit_length()
         pad = np.concatenate([active_pos, np.repeat(active_pos[:1], bucket - A)])
+        done_grp, carries = _boundary(
+            carries, jnp.asarray(done_pos), jnp.asarray(pad), b=budget
+        )
+        done_groups.append(done_grp)
+        done_orders.append(order[done_pos])
         order = order[pad]
-        carries = _gather_tree(carries, jnp.asarray(pad))
 
     # Dedupe pad-duplicate lanes (keep the first finish of each restart),
     # then one device concatenate + inverse-permutation gather.

@@ -92,6 +92,13 @@ def main():
         N, mmod.update_zeta(s._replace(lam=s.lam + acc), config), config))
     timed("theta+sumtheta", lambda s, acc: calculate_sumtheta(
         mmod.theta_from(s.lam + acc, mmod.smoothed_logw(s), config), X, config))
+    from multimodalmusig_tpu.models.ctm_base import theta_moments
+    timed("theta moments (factorized)", lambda s, acc: theta_moments(
+        s.lam + acc, mmod.smoothed_logw(s), X, config)[0])
+    timed("theta scatter (materialized)", lambda s, acc: mmod.update_gamma(
+        s._replace(lam_pre=s.lam_pre + acc), X, config,
+        theta=mmod.reconstruct_theta(s._replace(lam_pre=s.lam_pre + acc), config),
+    ).gamma)
     timed("nu solve", lambda s, acc: solve_nu(
         s.nu + acc, s.lam, ndz0[0], s.invSigma))
     timed("lambda solve", lambda s, acc: solve_lambda(
