@@ -173,3 +173,30 @@ def test_empty_schedule_takes_single_dispatch_path(mmctm_fixture, monkeypatch):
         restarts=2, maxiter=5, compact_schedule=(),
     )
     assert np.isfinite(np.asarray(result.ll)).all()
+
+
+def test_selection_invariant_under_compaction(mmctm_fixture):
+    """Restart SELECTION (per-modality stage-1 winners + the dense-rank
+    pick) must not depend on the compaction schedule. On CPU trajectories
+    are bit-identical so this is exact; the TPU analogue — where compacted
+    phases are different executables whose f32 rounding drifts ~1e-3 — is
+    measured and recorded by tools/selection_stability.py (near-tie margin
+    vs cross-run drift)."""
+    model = MMCTM(mmctm_fixture["K"], mmctm_fixture["alpha"], mmctm_fixture["X"])
+    alpha = jnp.asarray([0.1, 0.1], model.config.dtype)
+    kwargs = dict(restarts=12, maxiter=40, tol=1e-4)
+    plain = rmod.fit_restarts(
+        jax.random.key(4), model.Xdense, model.config, alpha, **kwargs
+    )
+    compacted = rmod.fit_restarts(
+        jax.random.key(4), model.Xdense, model.config, alpha,
+        compact_schedule=(10, 8), **kwargs
+    )
+    np.testing.assert_array_equal(np.asarray(plain.ll), np.asarray(compacted.ll))
+    np.testing.assert_array_equal(
+        np.asarray(rmod.pick_optimal_modality_restarts(plain.ll)),
+        np.asarray(rmod.pick_optimal_modality_restarts(compacted.ll)),
+    )
+    assert int(rmod.pick_optimal_restart(plain.ll)) == int(
+        rmod.pick_optimal_restart(compacted.ll)
+    )
