@@ -31,9 +31,9 @@ import jax.numpy as jnp
 
 from multimodalmusig_tpu.models.mmctm import MMCTMConfig
 from multimodalmusig_tpu.parallel.restarts import (
+    auto_compact_schedule,
     fit_restarts,
     pick_optimal_modality_restarts,
-    suggest_compact_schedule,
 )
 from multimodalmusig_tpu.utils.fast_tsv import read_counts_tsv
 from multimodalmusig_tpu.utils.data import brca_data_dir
@@ -60,19 +60,23 @@ def main():
     )
     alpha = jnp.asarray([0.1, 0.1], jnp.float32)
 
-    # 1. pilot: measure the iteration distribution
+    # 1+2. pilot + schedule derivation in one call: fits a pilot fleet,
+    # measures this device's lane-iterations/s (warm rerun, compile
+    # excluded) and its boundary round-trip cost, then places boundaries by
+    # exact DP. The CLI's --auto-compact runs exactly this.
     t0 = time.perf_counter()
-    pilot = fit_restarts(
-        jax.random.key(0), tuple(X), config, alpha,
-        restarts=args.pilot, maxiter=1000, tol=args.tol,
+    schedule, info = auto_compact_schedule(
+        jax.random.key(42), tuple(X), config, alpha,
+        restarts=args.restarts, maxiter=1000, tol=args.tol,
+        pilot_restarts=args.pilot,
     )
-    iters = np.asarray(pilot.n_iters)
-    print(f"pilot: {args.pilot} restarts in {time.perf_counter()-t0:.2f} s; "
-          f"iterations p50={int(np.median(iters))} max={int(iters.max())}")
-
-    # 2. derive the compaction schedule
-    schedule = suggest_compact_schedule(iters)
-    print(f"suggested compact_schedule: {schedule}")
+    print(f"pilot: {info['pilot_restarts']} restarts "
+          f"(p50={info['pilot_iters_median']:.0f} iters, "
+          f"{info['lane_iters_per_s']:.0f} lane-iters/s) in "
+          f"{time.perf_counter()-t0:.2f} s")
+    print(f"suggested compact_schedule: {schedule} "
+          f"(boundary {info['boundary_s']*1e3:.0f} ms = "
+          f"{info['boundary_cost_lane_iters']:.0f} lane-iters)")
 
     # 3. the production fleet
     t0 = time.perf_counter()

@@ -119,11 +119,27 @@ def main():
         # one FLOP each — a LOWER bound, since exp costs multiple VPU cycles).
         cost_source = "analytic_lower_bound"
         D, MK, M = config.D, config.MK, config.M
+        V_total = sum(config.V)
         VK = sum(config.V[m] * config.K[m] for m in range(M))
-        # θ path per modality: logits add + exp + softmax-normalize (2) +
-        # sumθ einsum (2) + γ-scatter einsum (2) + ll mixture P=props·ϕ (2)
-        # + log/weight (1) ≈ 10 ops per (D, V_m, K_m) cell
-        f_theta = 10.0 * D * VK
+        from multimodalmusig_tpu.ops import flags as _flags
+
+        if _flags.THETA_FACTORIZED:
+            # exp-factorized θ moments (ctm_base.theta_moments): 3 matmuls
+            # over (D, V_m) x K_m (Z, sumθ, scatter — 2 FLOP/cell each) +
+            # D·MK + VK exps + the X/Z divide, plus the ll mixture
+            # P = props·ϕ (2·D·VK) and X·log P (~3·D·V)
+            f_theta = (
+                6.0 * D * VK              # the three moment matmuls
+                + (D * MK + VK)           # exps (A and B tables)
+                + D * V_total             # X / Z
+                + 2.0 * D * VK            # ll mixture matmul
+                + 3.0 * D * V_total       # safe_xlogy + reduce
+            )
+        else:
+            # materialized softmax path: logits add + exp + normalize (2) +
+            # sumθ einsum (2) + γ-scatter einsum (2) + ll mixture (2)
+            # + log/weight (1) ≈ 10 ops per (D, V_m, K_m) cell
+            f_theta = 10.0 * D * VK
         # ζ: exp + block sums
         f_zeta = 3.0 * D * MK
         # ν: NU_FP_ITERS fixed-point sweeps + 4 Newton polish, ~6 ops each
