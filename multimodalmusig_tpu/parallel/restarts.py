@@ -318,10 +318,10 @@ def _init_carries(keys, X, config, alpha, maxiter, init_method="random"):
     return jax.vmap(one)(keys)
 
 
-@partial(jax.jit, static_argnames=("config", "maxiter", "tol", "chunk"))
-def _advance_carries(carries, X, config, maxiter, tol, chunk):
+def _advance_body(carries, X, config, maxiter, tol, chunk):
     """Advance every lane by up to `chunk` CAVI iterations (None = to
-    maxiter / per-lane convergence)."""
+    maxiter / per-lane convergence). Shared by the standalone jit below and
+    the fused boundary (_boundary_carries)."""
     X = tuple(X)
     N = counts_per_doc(X)
     step = mmctm_mod.fit_step_fn(X, N, config)
@@ -330,6 +330,40 @@ def _advance_carries(carries, X, config, maxiter, tol, chunk):
         return run_cavi_from(carry, maxiter, tol, step, max_new_iters=chunk)
 
     return jax.vmap(one)(carries)
+
+
+_advance_carries = partial(
+    jax.jit, static_argnames=("config", "maxiter", "tol", "chunk")
+)(_advance_body)
+
+
+@partial(jax.jit, static_argnames=("config", "maxiter", "tol", "b"))
+def _boundary_carries(c, done_idx, pad_idx, X, config, maxiter, tol, b):
+    """Fused MMCTM compaction boundary: done-lane gather + survivor re-pack
+    + next advance as ONE jitted device execution.
+
+    MODULE-LEVEL on purpose: jax.jit caches on the function object, so a
+    jit-wrapped closure built inside the drive loop can never hit the cache
+    across fits — every fit re-traces and re-loads each boundary executable,
+    which costs seconds per boundary through a remote-attached device's
+    tunnel (measured ~2.7 s/boundary vs ~50 ms warm; the round-4 regression
+    this function fixes). Here each distinct (carry shapes, budget) pair
+    compiles once per process and every later fit dispatches the cached
+    executable."""
+    done_grp = jax.tree_util.tree_map(lambda x: x[done_idx], c)
+    packed = jax.tree_util.tree_map(lambda x: x[pad_idx], c)
+    return done_grp, _advance_body(packed, X, config, maxiter, tol, b)
+
+
+@jax.jit
+def _split_tree(tree, done_idx, pad_idx):
+    """Done-lane gather + survivor re-pack as ONE device execution — the
+    unfused boundary fallback for drivers whose advance closures are not
+    backed by a module-level jit (LDA/ILDA/IMMCTM best-of-N)."""
+    return (
+        jax.tree_util.tree_map(lambda x: x[done_idx], tree),
+        jax.tree_util.tree_map(lambda x: x[pad_idx], tree),
+    )
 
 
 @partial(jax.jit, static_argnames=("config",))
@@ -394,6 +428,9 @@ def fit_restarts(
         restarts,
         progress=progress,
         schedule=schedule,
+        boundary=lambda c, d, p, b: _boundary_carries(
+            c, d, p, X, config, maxiter, tol, b
+        ),
     )
     return _finalize_carries(final, X, config)
 
@@ -427,7 +464,7 @@ def _reassemble_tree(groups, keeps, inv):
 
 
 def _chunked_drive(carries, advance, maxiter, restarts, progress=None,
-                   schedule=None):
+                   schedule=None, boundary=None):
     """Host loop with LANE COMPACTION over a batched CAVI carry.
 
     A vmapped while_loop computes every lane until the slowest lane
@@ -463,19 +500,12 @@ def _chunked_drive(carries, advance, maxiter, restarts, progress=None,
     progress bar over its pmap (run_mmctm.jl:101-104), which a single
     compiled dispatch cannot stream but the chunk boundary gives for free.
     """
-    # Fused boundary: done-lane gather + survivor re-pack + next advance as
-    # ONE jitted dispatch (round-3 boundaries were 3 dispatches + the host
-    # sync — ~28 ms tunnel latency each on a remote-attached device). The
-    # budget is static (the wrapped advance needs a Python int for its
-    # while_loop bound), so each (shapes, budget) pair compiles once —
-    # exactly the executables the unfused path compiled, now including the
-    # two gathers.
-    @partial(jax.jit, static_argnames=("b",))
-    def _boundary(c, done_idx, pad_idx, b):
-        done_grp = jax.tree_util.tree_map(lambda x: x[done_idx], c)
-        packed = jax.tree_util.tree_map(lambda x: x[pad_idx], c)
-        return done_grp, advance(packed, b)
-
+    # `boundary(c, done_idx, pad_idx, b)` is the fused one-dispatch boundary
+    # (done-lane gather + survivor re-pack + next advance). Callers must back
+    # it with a MODULE-LEVEL jit (_boundary_carries) — a jit closure defined
+    # here would re-trace and re-load its executables on every fit (see
+    # _boundary_carries' docstring). Without one, the fallback is the paired
+    # gather (_split_tree, one dispatch) + the caller's advance.
     budgets = iter(schedule) if schedule is not None else iter(())
     order = np.arange(restarts)
     done_groups = []   # device pytrees, each a batch of finished lanes
@@ -503,9 +533,15 @@ def _chunked_drive(carries, advance, maxiter, restarts, progress=None,
         A = len(active_pos)
         bucket = 1 << (A - 1).bit_length()
         pad = np.concatenate([active_pos, np.repeat(active_pos[:1], bucket - A)])
-        done_grp, carries = _boundary(
-            carries, jnp.asarray(done_pos), jnp.asarray(pad), b=budget
-        )
+        if boundary is not None:
+            done_grp, carries = boundary(
+                carries, jnp.asarray(done_pos), jnp.asarray(pad), budget
+            )
+        else:
+            done_grp, packed = _split_tree(
+                carries, jnp.asarray(done_pos), jnp.asarray(pad)
+            )
+            carries = advance(packed, budget)
         done_groups.append(done_grp)
         done_orders.append(order[done_pos])
         order = order[pad]
@@ -616,6 +652,9 @@ def two_stage_fit(
             stage2_restarts,
             progress=None if progress is None else partial(progress, 2),
             schedule=_repeat_forever(chunk_iters),
+            boundary=lambda c, d, p, b: _boundary_carries(
+                c, d, p, X, config, maxiter, stage2_tol, b
+            ),
         )
         stage2 = _finalize_carries(final, X, config)
     best = pick_optimal_restart(stage2.ll)
