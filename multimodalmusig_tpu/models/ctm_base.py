@@ -129,21 +129,39 @@ def theta_moments(lam, logw, X, config, want_scatter: bool = True):
     Stabilization: every A, B entry is ≤ 1 and Z ≥ the product of the two
     per-row argmax factors, so Z never overflows and underflow needs a
     ~e^-80 joint tail that the plain softmax would also flush.
+
+    Precision: all three contractions run at Precision.HIGHEST. The TPU's
+    default f32 matmul is a single bf16 pass (~3e-3 rel. error); with the
+    factorization that error lands on the softmax NORMALIZER Z, giving
+    every θ a correlated ~3e-3 bias that the materialized path (exact f32
+    VPU softmax) never had — measured on the v5e it cost ~9% more outer
+    CAVI iterations on BRCA (median 132 → 144) and mis-placed every
+    pre-tuned compaction schedule. Four lowerings were A/B'd on-chip
+    (round 4): bf16 einsums (2.13 ms/CAVI-iter, median 144), HIGHEST
+    einsums (2.39 ms, median 128.5), and two VPU k-unrolled variants
+    (2.55/2.36 ms — the extra passes land on the VPU, which is the
+    saturated unit, while the MXU is otherwise idle). The
+    iterations × per-iteration products all tie to ~5%, so the exact
+    single-code-path einsum wins: it keeps TPU trajectories closest to the
+    (exact-f32) CPU ones and has the shortest straggler tail
+    (max 385 vs 406 iters).
     """
     dt = config.dtype
+    hi = jax.lax.Precision.HIGHEST
     sum_parts, scatters = [], []
     for m in range(config.M):
         lam_m = config.block(lam, m)
         A = jnp.exp(lam_m - jnp.max(lam_m, axis=1, keepdims=True))   # (D, K)
         B = jnp.exp(logw[m] - jnp.max(logw[m], axis=1, keepdims=True))  # (V, K)
-        Z = jnp.einsum("dk,vk->dv", A, B, preferred_element_type=dt)
+        Z = jnp.einsum("dk,vk->dv", A, B, preferred_element_type=dt, precision=hi)
         R = X[m] / Z
         sum_parts.append(
-            A * jnp.einsum("dv,vk->dk", R, B, preferred_element_type=dt)
+            A * jnp.einsum("dv,vk->dk", R, B, preferred_element_type=dt, precision=hi)
         )
         if want_scatter:
             scatters.append(
-                (B * jnp.einsum("dv,dk->vk", R, A, preferred_element_type=dt)).T
+                (B * jnp.einsum("dv,dk->vk", R, A,
+                                preferred_element_type=dt, precision=hi)).T
             )
     return (
         jnp.concatenate(sum_parts, axis=1),

@@ -1,0 +1,83 @@
+"""Re-derive and validate the bench compaction schedules on the current
+device + numerics: measures the iteration distribution and lane-iters/s from
+a warm R=100 fit, measures the boundary round-trip, derives DP schedules for
+R=100 and R=1000, and times each candidate against the incumbent."""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--skip-r1000", action="store_true")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from bench import R100_SCHEDULE, R1000_SCHEDULE, load_counts_np
+    from multimodalmusig_tpu.models.mmctm import MMCTMConfig
+    from multimodalmusig_tpu.parallel.restarts import (
+        fit_restarts,
+        measure_boundary_seconds,
+        suggest_compact_schedule,
+    )
+
+    Xnp = load_counts_np()
+    config = MMCTMConfig(
+        K=(7, 7), V=(Xnp[0].shape[1], Xnp[1].shape[1]), D=Xnp[0].shape[0],
+        dtype=jnp.float32,
+    )
+    X = tuple(jnp.asarray(x, jnp.float32) for x in Xnp)
+    alpha = jnp.asarray([0.1, 0.1], jnp.float32)
+    key = jax.random.key(147959412)
+
+    def timed(restarts, schedule):
+        kwargs = dict(restarts=restarts, maxiter=1000, tol=1e-5,
+                      compact_schedule=schedule or None)
+        res = fit_restarts(key, X, config, alpha, **kwargs)  # warm
+        np.asarray(res.ll)
+        t0 = time.perf_counter()
+        res = fit_restarts(key, X, config, alpha, **kwargs)
+        np.asarray(res.ll)
+        return time.perf_counter() - t0, np.asarray(res.n_iters)
+
+    t100, iters = timed(100, None)
+    rate = 100 * float(iters.max()) / t100
+    t_b = measure_boundary_seconds()
+    B = t_b * rate
+    sched100 = suggest_compact_schedule(iters, maxiter=1000,
+                                        boundary_cost_lane_iters=B)
+    sched1000 = suggest_compact_schedule(np.repeat(iters, 10), maxiter=1000,
+                                         boundary_cost_lane_iters=B)
+    out = {
+        "iters": {p: float(np.percentile(iters, p)) for p in (50, 75, 90, 99, 100)},
+        "r100_unchunked_s": round(t100, 3),
+        "lane_iters_per_s": round(rate, 0),
+        "boundary_s": round(t_b, 4),
+        "boundary_cost_lane_iters": round(B, 0),
+        "sched100_new": sched100,
+        "sched1000_new": sched1000,
+        "arms": {},
+    }
+    arms100 = {"old": R100_SCHEDULE, "new": sched100}
+    for name, s in arms100.items():
+        t, _ = timed(100, tuple(s))
+        out["arms"][f"r100_{name}_{tuple(s)}"] = round(t, 3)
+    if not args.skip_r1000:
+        arms1000 = {"old": R1000_SCHEDULE, "new": sched1000}
+        for name, s in arms1000.items():
+            t, _ = timed(1000, tuple(s))
+            out["arms"][f"r1000_{name}_{tuple(s)}"] = round(t, 3)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
