@@ -52,15 +52,16 @@ PROXY_ITERS = 2
 METRIC = "mmctm_restarts_per_sec_brca_tol1e-5"
 
 # Compaction schedules: what suggest_compact_schedule picks from each
-# scale's measured iteration distribution (first cut where survivors drop
-# below a power-of-two bucket, then two tail cuts). Measured on the v5e chip
-# (tools/r1000_two_phase.py + NOTES.md round 3): R=1000 (131, 51, 98) ->
-# 6.86 s = 146 restarts/s (7.89 s with 2 boundaries, 13.63 s unchunked);
-# R=100 (127, 36, 40) -> 0.80 s = 125/s (0.89 s unchunked) — compaction
-# pays even at R=100 now that boundary gathers are single jitted dispatches.
-R100_SCHEDULE = (127, 36, 40)
+# scale's measured iteration distribution. Re-derived round 4
+# (tools/retune_schedules.py on the v5e) after the exp-factorized E-step
+# shifted the iteration distribution (p50 128.5, p90 240, max 385) and the
+# single-dispatch fused boundary cut the boundary round-trip to ~0.057 s
+# (=> boundary_cost ~2.2k lane-iters at 39k lane-iters/s): R=1000
+# (126, 55, 78) -> 6.16 s = 162 restarts/s (6.39 s on the round-3 schedule,
+# 13.6 s unchunked); R=100 (167, 89) -> 0.72 s (0.99 s unchunked).
+R100_SCHEDULE = (167, 89)
 R1000 = 1000
-R1000_SCHEDULE = (131, 51, 98)
+R1000_SCHEDULE = (126, 55, 78)
 
 
 def load_counts_np():
