@@ -51,17 +51,21 @@ PROBE_TIMEOUT = 180.0
 PROXY_ITERS = 2
 METRIC = "mmctm_restarts_per_sec_brca_tol1e-5"
 
-# Compaction schedules: what suggest_compact_schedule picks from each
-# scale's measured iteration distribution. Re-derived round 4
-# (tools/retune_schedules.py on the v5e) after the exp-factorized E-step
-# shifted the iteration distribution (p50 128.5, p90 240, max 385) and the
-# single-dispatch fused boundary cut the boundary round-trip to ~0.057 s
-# (=> boundary_cost ~2.2k lane-iters at 39k lane-iters/s): R=1000
-# (126, 55, 78) -> 6.16 s = 162 restarts/s (6.39 s on the round-3 schedule,
-# 13.6 s unchunked); R=100 (167, 89) -> 0.72 s (0.99 s unchunked).
-R100_SCHEDULE = (167, 89)
+# Compaction schedules: what suggest_compact_schedule (margin_z=1.0, the
+# default) picks from each scale's OWN measured iteration distribution —
+# derived round 4 on the v5e after the exp-factorized E-step shifted the
+# distribution (R=1000: p50 135, p90 243, max 393) and the single-dispatch
+# fused boundary cut the round-trip to ~0.057 s (~2.2k lane-iters at 39k
+# lane-iters/s). The margin matters: the exact (z=0) DP on the R=1000
+# distribution cuts at 511/512 survivors, one lane of noise from doubling
+# phase 2's padded bucket, and an R=100-pilot-derived schedule measured
+# that miss at +0.45 s (NOTES.md round 4). Measured: R=1000 (137, 51, 75)
+# -> 5.17 s = 193 restarts/s (z=0's edge-riding (132, 51, 75) -> 5.04 s;
+# round-3 schedule -> 6.16 s; unchunked -> 13.6 s); R=100 (181, 75) ->
+# 0.66 s (z=0 (167, 89) -> 0.70 s; unchunked -> 0.99 s).
+R100_SCHEDULE = (181, 75)
 R1000 = 1000
-R1000_SCHEDULE = (126, 55, 78)
+R1000_SCHEDULE = (137, 51, 75)
 
 
 def load_counts_np():

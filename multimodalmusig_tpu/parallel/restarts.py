@@ -66,6 +66,8 @@ def suggest_compact_schedule(
     maxiter: Optional[int] = None,
     boundary_cost_lane_iters: float = 8_000.0,
     max_boundaries: int = 3,
+    production_restarts: Optional[int] = None,
+    margin_z: float = 1.0,
 ):
     """Pick compaction boundaries for `fit_restarts(compact_schedule=...)`
     from a pilot fit's per-lane iteration counts (`FitResult.n_iters`).
@@ -93,13 +95,30 @@ def suggest_compact_schedule(
     fit the production R with the suggested schedule. The iteration
     distribution is a property of data/tolerance, not of R, so a pilot
     transfers (BRCA: R=100 and R=1000 distributions match to a few
-    percent — NOTES.md round 3).
+    percent — NOTES.md round 3). Pass `production_restarts` when the
+    production fit's lane count differs from the pilot's: phase costs
+    scale with R while the boundary charge is absolute, so a small pilot
+    fed in raw makes boundaries look relatively ~R/P times too expensive
+    and the DP under-compacts.
+
+    `margin_z` guards the bucket edges against survivor-count noise. The
+    exact DP on a pilot cuts exactly where survivors drop to a power of
+    two (e.g. 511 of 1000 on BRCA), but the production count is a noisy
+    realization of the pilot's survivor fraction — different lane seeds
+    (binomial, sd ≈ R·√(p(1-p)(1/P+1/R))), plus the few-iteration drift
+    the compacted phases' own f32 rounding induces. One lane over the
+    edge doubles the next phase's padded batch: measured on the v5e, an
+    R=100-pilot schedule whose first cut left 542 survivors ran phase 2
+    at bucket 1024 and cost 0.45 s of a 6.2 s fit (NOTES.md round 4).
+    The DP therefore buckets mean + margin_z·sd survivors; margin_z=0
+    restores the exact empirical DP.
     """
     iters = np.asarray(iters)
     iters = iters[np.isfinite(iters)].astype(np.int64)
     if iters.size == 0:
         return ()
-    R = iters.size
+    P = iters.size
+    R = int(production_restarts) if production_restarts else P
     hi = int(iters.max()) if maxiter is None else min(int(iters.max()), maxiter)
     cuts = np.unique(iters)
     cuts = cuts[cuts < hi]
@@ -110,15 +129,20 @@ def suggest_compact_schedule(
         return 0 if n == 0 else 1 << (int(n) - 1).bit_length()
 
     # survivors after cut c = lanes needing > c iterations; their padded
-    # power-of-two batch is the active-lane count of the following phase
+    # power-of-two batch is the active-lane count of the following phase.
+    # Production survivors are predicted from the pilot fraction with a
+    # margin_z-sigma safety margin before bucketing (see docstring).
     sorted_it = np.sort(iters)
-    surv_bucket = np.array(
-        [
-            bucket(R - int(np.searchsorted(sorted_it, c, side="right")))
-            for c in cuts
-        ],
-        dtype=np.float64,
-    )
+
+    def surv_pred(c):
+        s_p = P - int(np.searchsorted(sorted_it, c, side="right"))
+        if s_p == 0:
+            return 0
+        p = s_p / P
+        sd = R * np.sqrt(p * (1.0 - p) * (1.0 / P + 1.0 / R))
+        return int(np.ceil(R * p + margin_z * sd))
+
+    surv_bucket = np.array([bucket(surv_pred(c)) for c in cuts], dtype=np.float64)
     cuts_f = cuts.astype(np.float64)
     n = cuts.size
     B = float(boundary_cost_lane_iters)
@@ -234,7 +258,7 @@ def auto_compact_schedule(
     B = t_boundary * rate
     schedule = suggest_compact_schedule(
         iters, maxiter=maxiter, boundary_cost_lane_iters=B,
-        max_boundaries=max_boundaries,
+        max_boundaries=max_boundaries, production_restarts=int(restarts),
     )
     info = {
         "pilot_restarts": pilot_R,

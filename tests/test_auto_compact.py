@@ -49,6 +49,47 @@ def test_dp_expensive_boundaries_mean_no_schedule():
     assert sched == ()
 
 
+def test_dp_margin_backs_off_bucket_edges():
+    """margin_z pushes cuts past power-of-two survivor edges (round-4
+    finding: an exact-DP cut left 511/512 survivors — one lane of
+    pilot-to-production noise away from doubling the next phase's padded
+    batch, and the measured miss cost 0.45 s of a 6.2 s R=1000 fit)."""
+    exact = suggest_compact_schedule(ITERS, boundary_cost_lane_iters=2000,
+                                     margin_z=0.0)
+    guarded = suggest_compact_schedule(ITERS, boundary_cost_lane_iters=2000,
+                                       margin_z=1.0)
+    assert exact and guarded
+    s = np.sort(ITERS)
+    R = ITERS.size
+
+    def survivors(sched):
+        return [int(R - np.searchsorted(s, sum(sched[:i + 1]), side="right"))
+                for i in range(len(sched))]
+
+    def edge_headroom(n):
+        b = 1 << (int(n) - 1).bit_length()
+        return (b - n) / b
+
+    # the exact DP rides the edges; the guarded one leaves real headroom
+    # at its first (largest-bucket, costliest-to-miss) cut
+    assert survivors(guarded)[0] <= survivors(exact)[0]
+    assert edge_headroom(survivors(guarded)[0]) >= edge_headroom(survivors(exact)[0])
+    assert guarded[0] >= exact[0]
+
+
+def test_dp_production_scaling_compacts_small_pilots_more():
+    """A 64-lane pilot fed in raw makes the absolute boundary charge look
+    ~R/P times too expensive for an R=1000 production fit; passing
+    production_restarts restores the balance, so the scaled schedule
+    compacts at least as much."""
+    pilot = np.random.default_rng(5).choice(ITERS, 64, replace=False)
+    raw = suggest_compact_schedule(pilot, boundary_cost_lane_iters=8000)
+    scaled = suggest_compact_schedule(pilot, boundary_cost_lane_iters=8000,
+                                      production_restarts=1000)
+    assert len(scaled) >= len(raw)
+    assert len(scaled) >= 1
+
+
 def test_measure_boundary_seconds_returns_positive():
     t = measure_boundary_seconds(reps=2)
     assert 0 < t < 60
