@@ -22,7 +22,9 @@ __all__ = [
     "counts_per_doc",
     "calculate_Ndivzeta",
     "calculate_sumtheta",
+    "theta_from",
     "theta_moments",
+    "theta_moments_auto",
     "update_zeta",
     "solve_nu",
     "solve_lambda",
@@ -126,9 +128,19 @@ def theta_moments(lam, logw, X, config, want_scatter: bool = True):
     D·Σ_m V_m·K_m (~0.56M per BRCA lane-iteration) to D·MK + Σ_m V_m·K_m
     (~9k, ~64×), and the dominant contractions become MXU matmuls over
     (D, V_m) instead of VPU-bound einsums against a (D, V_m, K_m) softmax.
-    Stabilization: every A, B entry is ≤ 1 and Z ≥ the product of the two
-    per-row argmax factors, so Z never overflows and underflow needs a
-    ~e^-80 joint tail that the plain softmax would also flush.
+    Stabilization: every A, B entry is ≤ 1, so Z never overflows. Underflow
+    is NOT fully equivalent to the materialized softmax, which subtracts the
+    per-(d,v) JOINT max and is immune: here Z_dv flushes to 0 when every
+    topic's joint term sits > ~88 nats (f32; ~708 in f64 — unreachable)
+    below a_d + b_v, which needs the λ-row and logw-row argmaxes to be
+    anti-correlated with both spreads > 88. Then R = X/Z is inf on X > 0
+    cells and the lane's ll goes NaN — FAIL-SAFE, not silent: run_cavi
+    terminates the lane and restart selection masks it
+    (tests/test_theta_moments.py::test_f32_joint_underflow_is_the_known_gap
+    pins the exact behavior difference). Such a cell means every topic
+    explains that (document, word) pair with relative probability < 1e-38
+    — fitted models never get there (BRCA/PCAWG spreads are tens of nats);
+    data that does can pin `MUSIG_THETA_FACTORIZED=0` for the exact path.
 
     Precision: all three contractions run at Precision.HIGHEST. The TPU's
     default f32 matmul is a single bf16 pass (~3e-3 rel. error); with the
@@ -167,6 +179,46 @@ def theta_moments(lam, logw, X, config, want_scatter: bool = True):
         jnp.concatenate(sum_parts, axis=1),
         tuple(scatters) if want_scatter else None,
     )
+
+
+def theta_from(lam, logw, config) -> Tuple[jnp.ndarray, ...]:
+    """θ[d,v,:] = softmax(λ_block[d,:] + logw_m[v,:]); logw is (V_m, K_m)
+    (src/MMCTM.jl:183-198; src/IMMCTM.jl:152-172 with the feature product
+    already collapsed into logw). Materializes the (D, V_m, K_m) tensors —
+    the fit loops use theta_moments_auto instead, which needs only the
+    count-weighted moments."""
+    return tuple(
+        jax.nn.softmax(
+            config.block(lam, m)[:, None, :] + logw[m][None, :, :], axis=-1
+        )
+        for m in range(config.M)
+    )
+
+
+def theta_moments_auto(lam, logw, X, config, want_scatter: bool = True):
+    """(sumθ, scatters) via the exp-factorized matmul schedule
+    (theta_moments — exact same math, ~64× fewer exps on BRCA), or the
+    materializing einsum path when `MUSIG_THETA_FACTORIZED=0` pins it for
+    A/B runs. Shared by MMCTM and IMMCTM e_step_moments so the two branch
+    blocks cannot drift."""
+    from ..ops import flags
+
+    if flags.THETA_FACTORIZED:
+        return theta_moments(lam, logw, X, config, want_scatter)
+    theta = theta_from(lam, logw, config)
+    sumtheta = calculate_sumtheta(theta, X, config)
+    scatters = (
+        tuple(
+            jnp.einsum(
+                "dv,dvk->kv", X[m], theta[m],
+                preferred_element_type=config.dtype,
+            )
+            for m in range(config.M)
+        )
+        if want_scatter
+        else None
+    )
+    return sumtheta, scatters
 
 
 def update_zeta(lam: jnp.ndarray, nu: jnp.ndarray, config) -> jnp.ndarray:

@@ -45,7 +45,9 @@ from .ctm_base import (
     props_from_lam,
     run_cavi as _run_cavi,
     solve_eta,
+    theta_from as ctm_theta_from,
     theta_moments,
+    theta_moments_auto,
     spd_inverse as _spd_inverse,
     update_Sigma_mats,
     update_mu_vec,
@@ -167,14 +169,10 @@ def summed_Elnphi(
     return total
 
 
-def theta_from(lam, logw, config: IMMCTMConfig) -> Tuple[jnp.ndarray, ...]:
-    """θ[d,v,:] = softmax(λ_block[d,:] + logw_m[v,:]); logw is (V_m, K_m)."""
-    return tuple(
-        jax.nn.softmax(
-            config.block(lam, m)[:, None, :] + logw[m][None, :, :], axis=-1
-        )
-        for m in range(config.M)
-    )
+# θ[d,v,:] = softmax(λ_block[d,:] + logw_m[v,:]) — shared with MMCTM
+# (ctm_base.theta_from); the IMMCTM feature product Π_i exp(Elnϕ) is
+# already collapsed into the (V_m, K_m) logw table before this is called.
+theta_from = ctm_theta_from
 
 
 def smoothed_logw(state: IMMCTMState, F, config: IMMCTMConfig):
@@ -243,29 +241,12 @@ def e_step_moments(
     logw table, so the factorization carries over from MMCTM unchanged.
     `MUSIG_THETA_FACTORIZED=0` pins the materializing path for A/B runs.
     Returns (state, scatters tuple of (K_m, V_m) or None)."""
-    from ..ops import flags
-
     logw = (
         smoothed_logw(state, F, config) if logw_fn is None else logw_fn(state)
     )
-    if flags.THETA_FACTORIZED:
-        sumtheta, scatters = theta_moments(
-            state.lam, logw, X, config, want_scatter
-        )
-    else:
-        theta = theta_from(state.lam, logw, config)
-        sumtheta = calculate_sumtheta(theta, X, config)
-        scatters = (
-            tuple(
-                jnp.einsum(
-                    "dv,dvk->kv", X[m], theta[m],
-                    preferred_element_type=config.dtype,
-                )
-                for m in range(config.M)
-            )
-            if want_scatter
-            else None
-        )
+    sumtheta, scatters = theta_moments_auto(
+        state.lam, logw, X, config, want_scatter
+    )
     zeta, nu, lam = solve_eta(
         state.lam, state.nu, N, sumtheta, state.mu, state.invSigma, config
     )

@@ -64,7 +64,9 @@ from .ctm_base import (
     props_from_lam,
     run_cavi as _run_cavi_base,
     solve_eta,
+    theta_from as ctm_theta_from,
     theta_moments,
+    theta_moments_auto,
     spd_inverse as _spd_inverse,
     update_Sigma_mats,
     update_mu_vec,
@@ -200,16 +202,10 @@ def update_zeta(state: MMCTMState, config: MMCTMConfig) -> jnp.ndarray:
     return _base_update_zeta(state.lam, state.nu, config)
 
 
-def theta_from(
-    lam: jnp.ndarray, logw: Sequence[jnp.ndarray], config: MMCTMConfig
-) -> Tuple[jnp.ndarray, ...]:
-    """θ[d,v,:] = softmax(λ_block[d,:] + logw_m[v,:]); logw is (V_m, K_m)."""
-    return tuple(
-        jax.nn.softmax(
-            config.block(lam, m)[:, None, :] + logw[m][None, :, :], axis=-1
-        )
-        for m in range(config.M)
-    )
+# θ[d,v,:] = softmax(λ_block[d,:] + logw_m[v,:]) — shared with IMMCTM
+# (ctm_base.theta_from); re-exported here because the test oracle and the
+# reconstruction helpers address it through this module.
+theta_from = ctm_theta_from
 
 
 def smoothed_logw(state: MMCTMState) -> Tuple[jnp.ndarray, ...]:
@@ -284,27 +280,10 @@ def e_step_moments(
     exp-factorized matmul schedule (ctm_base.theta_moments — exact same
     math, ~64× fewer exps on BRCA); `MUSIG_THETA_FACTORIZED=0` pins the
     materializing einsum path for A/B runs. Returns (state, scatters)."""
-    from ..ops import flags
-
     logw = logw_fn(state)
-    if flags.THETA_FACTORIZED:
-        sumtheta, scatters = theta_moments(
-            state.lam, logw, X, config, want_scatter
-        )
-    else:
-        theta = theta_from(state.lam, logw, config)
-        sumtheta = calculate_sumtheta(theta, X, config)
-        scatters = (
-            tuple(
-                jnp.einsum(
-                    "dv,dvk->kv", X[m], theta[m],
-                    preferred_element_type=config.dtype,
-                )
-                for m in range(config.M)
-            )
-            if want_scatter
-            else None
-        )
+    sumtheta, scatters = theta_moments_auto(
+        state.lam, logw, X, config, want_scatter
+    )
     zeta, nu, lam = solve_eta(
         state.lam, state.nu, N, sumtheta, state.mu, state.invSigma, config
     )

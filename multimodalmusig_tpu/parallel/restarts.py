@@ -243,15 +243,22 @@ def auto_compact_schedule(
     X = tuple(X)
     pilot_R = max(2, min(int(pilot_restarts), int(restarts)))
     pk = jax.random.fold_in(key, 0x9E3779B9)
-    run = lambda: fit_restarts_from_keys(
-        jax.random.split(pk, pilot_R), X, config, alpha,
-        maxiter=maxiter, tol=tol, init_method=init_method,
+    keys = jax.random.split(pk, pilot_R)
+    # AOT-split compile from execution so the pilot runs ONCE: lowering +
+    # compiling first, then timing the single execution that also yields
+    # n_iters (a naive "cold run for iters, warm re-run for the rate" pays
+    # the whole pilot fit twice).
+    run = jax.jit(
+        lambda ks: fit_restarts_from_keys(
+            ks, X, config, alpha,
+            maxiter=maxiter, tol=tol, init_method=init_method,
+        )
     )
-    result = run()
-    iters = np.asarray(jax.device_get(result.n_iters))
+    compiled = run.lower(keys).compile()
     t0 = time.perf_counter()
-    jax.block_until_ready(run())
+    result = jax.block_until_ready(compiled(keys))
     t_warm = time.perf_counter() - t0
+    iters = np.asarray(jax.device_get(result.n_iters))
     # unchunked device work = every lane runs until the slowest terminates
     rate = pilot_R * float(iters.max()) / max(t_warm, 1e-9)
     t_boundary = measure_boundary_seconds()
@@ -629,7 +636,10 @@ def two_stage_fit(
     done, total)` streams per-chunk completion counts (stage is 1 or 2).
     `compact_schedule` enables the 2-phase straggler fit for stage 1 (see
     fit_restarts; stage 2 is `stage2_restarts` lanes — 1 by default — and
-    has no straggler problem to compact away).
+    has no straggler problem to compact away). A stage that runs as a
+    single dispatch (no chunking for that stage, including an auto-derived
+    EMPTY schedule) still invokes `progress` once on completion, so a
+    progress-consuming caller never sees total silence.
     """
     X = tuple(X)
     k1, k2 = jax.random.split(key)
@@ -640,6 +650,11 @@ def two_stage_fit(
         chunk_iters=chunk_iters, compact_schedule=compact_schedule,
         progress=None if progress is None else partial(progress, 1),
     )
+    if progress is not None and chunk_iters is None and not compact_schedule:
+        # single-dispatch stage: no chunk boundaries streamed anything, so
+        # report completion once — otherwise --progress with an auto-derived
+        # EMPTY schedule (the DP decided no boundary pays) looks like a hang
+        progress(1, restarts, restarts)
     best_m = pick_optimal_modality_restarts(stage1.ll)  # (M,)
 
     # Graft the per-modality-best topic-word posteriors (run_mmctm.jl:126-130)
@@ -656,6 +671,8 @@ def two_stage_fit(
             keys2, X, config, alpha, grafted_gamma, grafted_Elnphi,
             maxiter=maxiter, tol=stage2_tol, init_method=init_method,
         )
+        if progress is not None:
+            progress(2, stage2_restarts, stage2_restarts)
     else:
         carries = _init_carries(keys2, X, config, alpha, maxiter, init_method)
         state = carries[0]._replace(

@@ -26,7 +26,10 @@ def test_cli_subprocess_end_to_end(tmp_path):
     env.update(
         PYTHONPATH=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         JAX_PLATFORMS="cpu",
-        JAX_COMPILATION_CACHE_DIR="/tmp/jax_cache_cli",
+        # persistent compilation cache OFF: jaxlib 0.9.0's XLA:CPU
+        # executable (de)serializer can segfault (see conftest.py) and
+        # these children compile only tiny 2-topic programs anyway
+        JAX_COMPILATION_CACHE_DIR="",
     )
     out = subprocess.run(
         [
@@ -77,7 +80,10 @@ def test_cli_progress_without_chunking_explains(tmp_path, capsys=None):
     env.update(
         PYTHONPATH=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         JAX_PLATFORMS="cpu",
-        JAX_COMPILATION_CACHE_DIR="/tmp/jax_cache_cli",
+        # persistent compilation cache OFF: jaxlib 0.9.0's XLA:CPU
+        # executable (de)serializer can segfault (see conftest.py) and
+        # these children compile only tiny 2-topic programs anyway
+        JAX_COMPILATION_CACHE_DIR="",
     )
     out = subprocess.run(
         [
@@ -105,7 +111,10 @@ def test_cli_auto_compact(tmp_path):
     env.update(
         PYTHONPATH=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         JAX_PLATFORMS="cpu",
-        JAX_COMPILATION_CACHE_DIR="/tmp/jax_cache_cli",
+        # persistent compilation cache OFF: jaxlib 0.9.0's XLA:CPU
+        # executable (de)serializer can segfault (see conftest.py) and
+        # these children compile only tiny 2-topic programs anyway
+        JAX_COMPILATION_CACHE_DIR="",
     )
     out = subprocess.run(
         [

@@ -54,6 +54,45 @@ def test_factorized_moments_zero_count_docs(rng):
     assert np.all(np.isfinite(np.asarray(scatters[0])))
 
 
+def test_f32_joint_underflow_is_the_known_gap():
+    """The one place the factorized schedule is NOT equivalent to the
+    materialized softmax (and the fit machinery's safety net for it):
+    anti-correlated λ/logw argmaxes with both spreads > ~88 nats flush the
+    f32 normalizer Z to 0, giving non-finite moments where the joint-max
+    softmax stays exact. The e_step propagates the NaN into the lane's ll,
+    which run_cavi terminates and restart selection masks — fail-safe, not
+    silent (ctm_base.theta_moments docstring)."""
+    K, V, D = (2,), (3,), 2
+    config = MMCTMConfig(K=K, V=V, D=D, dtype=jnp.float32)
+    # doc 0 peaks on topic 0 while vocab item 0 peaks on topic 1; both
+    # spreads are 120 nats, so every joint term at (0, 0) is ~e^-120
+    lam = jnp.asarray([[0.0, -120.0], [0.0, -1.0]], jnp.float32)
+    logw = (
+        jnp.asarray([[-120.0, 0.0], [-60.0, -60.0], [0.0, -1.0]], jnp.float32),
+    )
+    X = (jnp.ones((D, V[0]), jnp.float32),)
+
+    sumtheta, _ = ctm_base.theta_moments(lam, logw, X, config)
+    sumtheta = np.asarray(sumtheta)
+    assert not np.isfinite(sumtheta[0]).all()  # the pathological document
+    assert np.isfinite(sumtheta[1]).all()      # ordinary documents unharmed
+
+    theta = ctm_base.theta_from(lam, logw, config)
+    ref = np.asarray(ctm_base.calculate_sumtheta(theta, X, config))
+    assert np.isfinite(ref).all()              # materialized path is exact
+    np.testing.assert_allclose(sumtheta[1], ref[1], rtol=1e-6)
+
+    # float64 pushes the threshold to ~708 nats — same inputs are exact
+    config64 = MMCTMConfig(K=K, V=V, D=D, dtype=jnp.float64)
+    s64, _ = ctm_base.theta_moments(
+        lam.astype(jnp.float64),
+        (logw[0].astype(jnp.float64),),
+        (X[0].astype(jnp.float64),),
+        config64,
+    )
+    np.testing.assert_allclose(np.asarray(s64), ref, rtol=1e-6)
+
+
 def test_want_scatter_false_skips_scatter(rng):
     config, lam, logw, X = _random_problem(rng)
     sumtheta, scatters = ctm_base.theta_moments(
@@ -63,26 +102,71 @@ def test_want_scatter_false_skips_scatter(rng):
     assert sumtheta.shape == (config.D, config.MK)
 
 
-def _fit_ll(fixture, factorized, monkeypatch):
-    monkeypatch.setattr(flags, "THETA_FACTORIZED", factorized)
-    model = MMCTM(fixture["K"], fixture["alpha"], fixture["X"], seed=7)
-    ll = model.fit(maxiter=25, verbose=False)
-    return np.asarray(ll), model
+class _ArmRunner:
+    """Run fit arms under a trace-time flag flip, NON-vacuously.
+
+    flags.THETA_FACTORIZED is read at trace time (ctm_base.theta_moments_auto)
+    and jax's jit cache keys on (function, shapes, statics) — NOT on module
+    state — so flipping the flag after the first arm's fit has compiled would
+    silently rerun the first arm's executable and compare it against itself.
+    jax.clear_caches() before each arm forces a fresh trace that re-reads the
+    flag, and a counter on ctm_base.theta_moments proves which path traced
+    (factorized arm: called; materialized arm: never). Caches are cleared
+    again afterwards so no executable traced under a patched flag leaks into
+    later tests that run with the default.
+    """
+
+    def __init__(self, monkeypatch):
+        self.monkeypatch = monkeypatch
+        self.fact_calls = 0
+        orig = ctm_base.theta_moments
+
+        def counting(*a, **k):
+            self.fact_calls += 1
+            return orig(*a, **k)
+
+        monkeypatch.setattr(ctm_base, "theta_moments", counting)
+
+    def run(self, factorized, fit_fn):
+        self.monkeypatch.setattr(flags, "THETA_FACTORIZED", factorized)
+        jax.clear_caches()
+        before = self.fact_calls
+        out = fit_fn()
+        traced_factorized = self.fact_calls > before
+        assert traced_factorized == factorized, (
+            "the flag flip did not change the traced path — the A/B is vacuous"
+        )
+        return out
 
 
-def test_fit_matches_with_and_without_factorization(mmctm_fixture, monkeypatch):
+@pytest.fixture
+def arm_runner(monkeypatch):
+    r = _ArmRunner(monkeypatch)
+    yield r
+    jax.clear_caches()
+
+
+def test_fit_matches_with_and_without_factorization(mmctm_fixture, arm_runner):
     """Full fits agree in float64 — the factorization changes the schedule,
-    not the math. (jit caches key on the traced path because maxiter etc.
-    are static and the two paths trace different graphs.)"""
-    ll_f, m_f = _fit_ll(mmctm_fixture, True, monkeypatch)
-    ll_m, m_m = _fit_ll(mmctm_fixture, False, monkeypatch)
+    not the math."""
+
+    def fit():
+        model = MMCTM(
+            mmctm_fixture["K"], mmctm_fixture["alpha"], mmctm_fixture["X"],
+            seed=7,
+        )
+        ll = model.fit(maxiter=25, verbose=False)
+        return np.asarray(ll), model
+
+    ll_f, m_f = arm_runner.run(True, fit)
+    ll_m, m_m = arm_runner.run(False, fit)
     np.testing.assert_allclose(ll_f, ll_m, rtol=1e-9, atol=1e-11)
     np.testing.assert_allclose(
         np.asarray(m_f.state.lam), np.asarray(m_m.state.lam), rtol=1e-7, atol=1e-9
     )
 
 
-def test_immctm_fit_matches_with_and_without_factorization(monkeypatch):
+def test_immctm_fit_matches_with_and_without_factorization(arm_runner):
     # the reference's hand-computed IMMCTM fixture (test/immctm.jl:6-51)
     features = [
         np.array([[1, 1], [1, 2], [2, 1], [2, 2]]),
@@ -93,14 +177,13 @@ def test_immctm_fit_matches_with_and_without_factorization(monkeypatch):
         [np.array([[3, 4], [4, 9]]), np.array([[3, 4], [4, 6]])],
     ]
 
-    def run(factorized):
-        monkeypatch.setattr(flags, "THETA_FACTORIZED", factorized)
+    def fit():
         model = imod.IMMCTM([2, 3], [0.1, 0.1], features, X, seed=7)
         ll = model.fit(maxiter=20, verbose=False)
         return np.asarray(ll), model
 
-    ll_f, m_f = run(True)
-    ll_m, m_m = run(False)
+    ll_f, m_f = arm_runner.run(True, fit)
+    ll_m, m_m = arm_runner.run(False, fit)
     np.testing.assert_allclose(ll_f, ll_m, rtol=1e-9, atol=1e-11)
     np.testing.assert_allclose(
         np.asarray(m_f.state.lam), np.asarray(m_m.state.lam), rtol=1e-7, atol=1e-9
