@@ -241,9 +241,10 @@ def _use_fused_lambda(force=None) -> bool:
     False to pin the XLA path.
 
     Default (`MUSIG_PALLAS` unset or `auto`): on exactly when the default
-    backend is a TPU — measured 1.51x end-to-end on the 100-restart BRCA
-    benchmark (112 vs 74 restarts/s at the capped f32 CG budget, round 3,
-    tools/pallas_fit_ab.py; 1.17x at the round-2 exact budget).
+    backend is a TPU — measured 1.09x end-to-end on the 100-restart BRCA
+    benchmark (0.99 vs 1.08 s unchunked, round 4, tools/pallas_fit_ab.py;
+    the margin was 1.51x at round 3 and narrowed because the exp-factorized
+    E-step sped the XLA arm more than the fused one).
     `MUSIG_PALLAS=1` forces it on
     (e.g. interpret-mode tests), `MUSIG_PALLAS=0` forces the XLA path.
     The two paths differ only in f32 rounding (~1e-8 per solve).
