@@ -52,20 +52,18 @@ PROXY_ITERS = 2
 METRIC = "mmctm_restarts_per_sec_brca_tol1e-5"
 
 # Compaction schedules: what suggest_compact_schedule (margin_z=1.0, the
-# default) picks from each scale's OWN measured iteration distribution —
-# derived round 4 on the v5e after the exp-factorized E-step shifted the
-# distribution (R=1000: p50 135, p90 243, max 393) and the single-dispatch
-# fused boundary cut the round-trip to ~0.057 s (~2.2k lane-iters at 39k
-# lane-iters/s). The margin matters: the exact (z=0) DP on the R=1000
-# distribution cuts at 511/512 survivors, one lane of noise from doubling
-# phase 2's padded bucket, and an R=100-pilot-derived schedule measured
-# that miss at +0.45 s (NOTES.md round 4). Measured: R=1000 (137, 51, 75)
-# -> 5.17 s = 193 restarts/s (z=0's edge-riding (132, 51, 75) -> 5.04 s;
-# round-3 schedule -> 6.16 s; unchunked -> 13.6 s); R=100 (181, 75) ->
-# 0.66 s (z=0 (167, 89) -> 0.70 s; unchunked -> 0.99 s).
-R100_SCHEDULE = (181, 75)
+# default) picks from the R=100 pilot distribution at the warm-start λ
+# Newton budget (ops/solvers.py LAMBDA_NITER_F32_CAVI = 3, round 4) with
+# production_restarts scaling for the R=1000 pin. The margin matters: the
+# exact (z=0) DP cuts at power-of-two survivor edges (511/512 measured),
+# one lane of noise from doubling a phase's padded bucket (+0.45 s
+# measured miss — NOTES.md round 4). Measured on the v5e (BENCH_LOCAL
+# lambda_budget_r4): R=1000 (147, 60, 49) -> 3.60 s = 278 restarts/s
+# (5.13 s at the old n_iter=7 budget, 6.16 s at the round-3 schedule+
+# budget, 13.6 s unchunked); R=100 (188,) -> 0.48 s (0.66 s at n_iter=7).
+R100_SCHEDULE = (188,)
 R1000 = 1000
-R1000_SCHEDULE = (137, 51, 75)
+R1000_SCHEDULE = (147, 60, 49)
 
 
 def load_counts_np():

@@ -302,10 +302,17 @@ def solve_eta(lam, nu, N, sumtheta, mu, invSigma, config):
     to f32 rounding (mirrored op-for-op; tests/test_pallas_kernels.py).
     """
     from ..ops import flags
+    from ..ops.solvers import LAMBDA_NITER_F32_CAVI
 
     kw = {}
     if config.lambda_n_iter is not None:
         kw["n_iter"] = int(config.lambda_n_iter)
+    elif jnp.dtype(config.dtype) == jnp.dtype(jnp.float32):
+        # Warm-started fit-loop solves need far fewer Newton steps than the
+        # solver's cold-start default — measured cliff and rationale at
+        # ops/solvers.py LAMBDA_NITER_F32_CAVI. float64 keeps the full
+        # budget (the machine-precision trajectory-parity suite needs it).
+        kw["n_iter"] = LAMBDA_NITER_F32_CAVI
     if config.lambda_cg_iter is not None:
         kw["cg_iter"] = int(config.lambda_cg_iter)
     if (

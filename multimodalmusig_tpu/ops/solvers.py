@@ -78,6 +78,25 @@ NU_FP_ITERS = 8
 # import this so the fused and XLA defaults cannot drift.
 CG_ITER_F32_CAP = 10
 
+# Newton budget for WARM-STARTED float32 λ solves inside the CAVI fit loops
+# (models/ctm_base.py solve_eta resolves this when the model config leaves
+# lambda_n_iter unset and dtype is float32; float64 fits and standalone
+# maximize_lambda calls keep the cold-start-safe n_iter = 7). Measured on
+# the v5e after the exp-factorized E-step (round 4, BENCH_LOCAL
+# lambda_budget_r4): each CAVI iteration warm-starts the solve at the
+# previous iteration's λ, so 3 line-searched Newton steps + the 2 polish
+# steps hold the outer-iteration distribution (median 128.5 → 136.5 on
+# BRCA R=100, 191 → 190.5 on PCAWG) and the per-modality best
+# log-likelihoods to the 6th decimal on BOTH workloads, while cutting the
+# benchmark walls 0.67 → 0.48 s (R=100) and 5.13 → 3.60 s (R=1000).
+# The cliff is sharp and measured: n_iter = 2 still matches BRCA exactly
+# (R=1000 3.07 s) but wiggles PCAWG's 3rd modality by 3e-5; n_iter = 1
+# degrades best ll by 2-4e-4 with MORE outer iterations (premature
+# ll-plateau convergence at worse optima). 3 keeps one step of margin
+# above the cliff; harder datasets can raise it via
+# CTMBaseConfig.lambda_n_iter without touching solver code.
+LAMBDA_NITER_F32_CAVI = 3
+
 __all__ = [
     "lambda_objective",
     "lambda_grad",

@@ -364,3 +364,63 @@ class TestF32CGCapDefault:
         dflt = np.asarray(solvers.maximize_lambda(*args))
         full = np.asarray(solvers.maximize_lambda(*args, cg_iter=14))
         np.testing.assert_array_equal(dflt, full)
+
+
+class TestF32CaviNewtonBudget:
+    """Pins the dtype-dependent Newton budget inside the FIT loops: an f32
+    fit's warm-started λ solves default to LAMBDA_NITER_F32_CAVI (measured:
+    holds iteration counts and best-ll to the 6th decimal on BRCA and
+    PCAWG while cutting the R=1000 benchmark 5.13 → 3.60 s — see
+    ops/solvers.py), while f64 fits keep the solver's cold-start n_iter=7
+    (the machine-precision trajectory-parity suite depends on it), and
+    lambda_n_iter still overrides both."""
+
+    X = [
+        [np.array([[1, 4], [2, 2]]), np.array([[1, 3], [3, 2]])],
+        [np.array([[2, 2], [1, 5]]), np.array([[1, 2], [2, 1]])],
+    ]
+
+    def _fit(self, dtype, lambda_n_iter=None, maxiter=6):
+        from multimodalmusig_tpu.models.mmctm import MMCTM
+        import dataclasses
+
+        m = MMCTM([2, 2], [0.1, 0.1], self.X, dtype=dtype)
+        if lambda_n_iter is not None:
+            m.config = dataclasses.replace(m.config, lambda_n_iter=lambda_n_iter)
+        m.fit(maxiter=maxiter)
+        return np.asarray(m.ll)
+
+    def test_f32_default_equals_cavi_budget(self):
+        from multimodalmusig_tpu.ops.solvers import LAMBDA_NITER_F32_CAVI
+
+        dflt = self._fit(jnp.float32)
+        capped = self._fit(jnp.float32, lambda_n_iter=LAMBDA_NITER_F32_CAVI)
+        full = self._fit(jnp.float32, lambda_n_iter=7)
+        np.testing.assert_array_equal(dflt, capped)
+        assert not np.array_equal(dflt, full)  # the cap genuinely engages
+        # quality pin: the reduced budget lands on the same optimum
+        np.testing.assert_allclose(dflt, full, rtol=1e-4)
+
+    def test_f64_default_equals_full_budget(self):
+        dflt = self._fit(jnp.float64)
+        full = self._fit(jnp.float64, lambda_n_iter=7)
+        np.testing.assert_array_equal(dflt, full)
+
+    def test_f32_transform_quality_holds_at_cavi_budget(self):
+        """The inference paths (transform/fit_heldout/predict) share
+        solve_eta's budget resolution; their warm-started solves must land
+        on the same fold-in posteriors as the full budget."""
+        from multimodalmusig_tpu.models.mmctm import MMCTM, transform
+        import dataclasses
+
+        def run(lambda_n_iter):
+            m = MMCTM([2, 2], [0.1, 0.1], self.X, dtype=jnp.float32)
+            if lambda_n_iter is not None:
+                m.config = dataclasses.replace(
+                    m.config, lambda_n_iter=lambda_n_iter
+                )
+            m.fit(maxiter=6)
+            t = transform(m, self.X, maxiter=6)
+            return np.concatenate([np.asarray(p) for p in t.props], axis=1)
+
+        np.testing.assert_allclose(run(None), run(7), rtol=1e-3, atol=1e-5)
