@@ -241,10 +241,12 @@ def _use_fused_lambda(force=None) -> bool:
     False to pin the XLA path.
 
     Default (`MUSIG_PALLAS` unset or `auto`): on exactly when the default
-    backend is a TPU — measured 1.09x end-to-end on the 100-restart BRCA
-    benchmark (0.99 vs 1.08 s unchunked, round 4, tools/pallas_fit_ab.py;
-    the margin was 1.51x at round 3 and narrowed because the exp-factorized
-    E-step sped the XLA arm more than the fused one).
+    backend is a TPU — measured 1.22x end-to-end on the 100-restart BRCA
+    benchmark (0.60 vs 0.73 s unchunked at the round-4 operating point,
+    tools/pallas_fit_ab.py). The margin tracks how much per-iteration
+    overhead the kernel amortizes relative to CG FLOPs: 1.51x at round 3,
+    1.09x after the exp-factorized E-step sped the XLA arm, 1.22x after
+    the warm-start Newton budget shrank the CG work again.
     `MUSIG_PALLAS=1` forces it on
     (e.g. interpret-mode tests), `MUSIG_PALLAS=0` forces the XLA path.
     The two paths differ only in f32 rounding (~1e-8 per solve).

@@ -150,14 +150,19 @@ def main():
         )
 
         f_nu = (NU_FP_ITERS + 4) * 6.0 * D * MK
-        # λ: (7 Newton + polish) rounds; each = gradient matvec (2·MK²·D)
+        # λ: (LAMBDA_NITER_F32_CAVI Newton + polish) rounds — the f32 fit
+        # path's warm-start budget (ctm_base.solve_eta); each = gradient
+        # matvec (2·MK²·D)
         #  + cg_iter CG iterations × (matvec 2·MK²·D + ~8·MK·D vector work)
         #    (cg_iter = the f32 default, min(MK, CG_ITER_F32_CAP))
         #  + line search: 2 exps + (3 over + _N_BACKTRACK) candidates
         #    × ~3·MK·D + sqrt chain
-        from multimodalmusig_tpu.ops.solvers import CG_ITER_F32_CAP
+        from multimodalmusig_tpu.ops.solvers import (
+            CG_ITER_F32_CAP,
+            LAMBDA_NITER_F32_CAVI,
+        )
 
-        n_newton = 7 + LAMBDA_POLISH_ITERS
+        n_newton = LAMBDA_NITER_F32_CAVI + LAMBDA_POLISH_ITERS
         cg_iter = min(MK, CG_ITER_F32_CAP)
         f_round = (
             2.0 * MK * MK * D
