@@ -52,18 +52,19 @@ PROXY_ITERS = 2
 METRIC = "mmctm_restarts_per_sec_brca_tol1e-5"
 
 # Compaction schedules: what suggest_compact_schedule (margin_z=1.0, the
-# default) picks from the R=100 pilot distribution at the warm-start λ
-# Newton budget (ops/solvers.py LAMBDA_NITER_F32_CAVI = 3, round 4) with
-# production_restarts scaling for the R=1000 pin. The margin matters: the
-# exact (z=0) DP cuts at power-of-two survivor edges (511/512 measured),
-# one lane of noise from doubling a phase's padded bucket (+0.45 s
-# measured miss — NOTES.md round 4). Measured on the v5e (BENCH_LOCAL
-# lambda_budget_r4): R=1000 (147, 60, 49) -> 3.60 s = 278 restarts/s
-# (5.13 s at the old n_iter=7 budget, 6.16 s at the round-3 schedule+
-# budget, 13.6 s unchunked); R=100 (188,) -> 0.48 s (0.66 s at n_iter=7).
-R100_SCHEDULE = (188,)
+# default) picks from the R=100 pilot distribution at the round-4
+# warm-start solver budgets (ops/solvers.py LAMBDA_NITER_F32_CAVI=3,
+# LAMBDA_POLISH_F32_CAVI=1, NU_FP_F32_CAVI=4) with production_restarts
+# scaling for the R=1000 pin. The margin matters: the exact (z=0) DP cuts
+# at power-of-two survivor edges (511/512 measured), one lane of noise
+# from doubling a phase's padded bucket (+0.45 s measured miss — NOTES.md
+# round 4). Measured on the v5e: R=1000 (147, 53, 36) -> 3.31 s = 302
+# restarts/s (5.13 s at the round-start n_iter=7 budgets, 6.86 s at the
+# round-3 close, 13.6 s unchunked); R=100 (186,) -> 0.43 s (0.47 s
+# unchunked; 0.67 s at the n_iter=7 budgets).
+R100_SCHEDULE = (186,)
 R1000 = 1000
-R1000_SCHEDULE = (147, 60, 49)
+R1000_SCHEDULE = (147, 53, 36)
 
 
 def load_counts_np():

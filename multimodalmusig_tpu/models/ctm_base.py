@@ -47,12 +47,16 @@ class CTMBaseConfig:
     V: Tuple[int, ...]  # vocab items per modality
     D: int              # documents
     dtype: Any = jnp.float32
-    # Inner λ-solver budgets (None = the measured defaults in ops/solvers.py,
-    # tuned on the BRCA workload: MK=14, cond(Σ⁻¹) ≲ 1e6). Datasets with much
+    # Inner solver budgets (None = the measured dtype-dependent defaults in
+    # ops/solvers.py — float32 fit loops use the warm-start caps
+    # LAMBDA_NITER_F32_CAVI / LAMBDA_POLISH_F32_CAVI / NU_FP_F32_CAVI,
+    # float64 keeps the cold-start-safe full budgets). Datasets with much
     # larger MK or harsher precision-matrix geometry can raise these without
     # editing solver code; they thread through solve_eta → solve_lambda.
     lambda_n_iter: Any = None
     lambda_cg_iter: Any = None
+    lambda_polish_iter: Any = None
+    nu_n_iter: Any = None
     # Fused-λ-kernel override: None = auto (MUSIG_PALLAS / backend gate in
     # _use_fused_lambda), True/False = force. Static (part of the jit cache
     # key), so a per-trace decision is explicit rather than ambient — the
@@ -272,17 +276,21 @@ def _use_fused_lambda(force=None) -> bool:
 
 
 def solve_lambda(lam, nu, Ndivzeta, sumtheta, mu, invSigma,
-                 n_iter=None, cg_iter=None, force_fused=None):
+                 n_iter=None, cg_iter=None, polish_iter=None, force_fused=None):
     """Batched λ maximization (replaces NLopt at src/MMCTM.jl:127-143).
 
-    `n_iter`/`cg_iter` override the solver's measured defaults (7 Newton
-    iterations, MK CG iterations — ops/solvers.py maximize_lambda) for
-    callers whose problems outgrow the BRCA-tuned budget."""
+    `n_iter`/`cg_iter`/`polish_iter` override the solver's measured defaults
+    (7 Newton iterations, MK CG iterations, 2 polish rounds — ops/solvers.py
+    maximize_lambda) for callers whose problems outgrow the BRCA-tuned
+    budget, or — via solve_eta's dtype-gated resolution — shrink them to
+    the warm-start fit-loop caps."""
     kw = {}
     if n_iter is not None:
         kw["n_iter"] = int(n_iter)
     if cg_iter is not None:
         kw["cg_iter"] = int(cg_iter)
+    if polish_iter is not None:
+        kw["polish_iter"] = int(polish_iter)
     if _use_fused_lambda(force_fused) and lam.shape[-1] <= 128:
         from ..ops.pallas.lambda_kernel import maximize_lambda_fused
 
@@ -304,19 +312,36 @@ def solve_eta(lam, nu, N, sumtheta, mu, invSigma, config):
     to f32 rounding (mirrored op-for-op; tests/test_pallas_kernels.py).
     """
     from ..ops import flags
-    from ..ops.solvers import LAMBDA_NITER_F32_CAVI
+    from ..ops.solvers import (
+        LAMBDA_NITER_F32_CAVI,
+        LAMBDA_POLISH_F32_CAVI,
+        NU_FP_F32_CAVI,
+    )
 
+    # Warm-started fit-loop solves need far smaller budgets than the
+    # solvers' cold-start defaults — measured cliffs and rationale at
+    # ops/solvers.py LAMBDA_NITER_F32_CAVI / LAMBDA_POLISH_F32_CAVI /
+    # NU_FP_F32_CAVI. float64 keeps the full budgets (the
+    # machine-precision trajectory-parity suite needs them). Each config
+    # field overrides its budget independently.
+    f32 = jnp.dtype(config.dtype) == jnp.dtype(jnp.float32)
     kw = {}
     if config.lambda_n_iter is not None:
         kw["n_iter"] = int(config.lambda_n_iter)
-    elif jnp.dtype(config.dtype) == jnp.dtype(jnp.float32):
-        # Warm-started fit-loop solves need far fewer Newton steps than the
-        # solver's cold-start default — measured cliff and rationale at
-        # ops/solvers.py LAMBDA_NITER_F32_CAVI. float64 keeps the full
-        # budget (the machine-precision trajectory-parity suite needs it).
+    elif f32:
         kw["n_iter"] = LAMBDA_NITER_F32_CAVI
     if config.lambda_cg_iter is not None:
         kw["cg_iter"] = int(config.lambda_cg_iter)
+    if config.lambda_polish_iter is not None:
+        kw["polish_iter"] = int(config.lambda_polish_iter)
+    elif f32:
+        kw["polish_iter"] = LAMBDA_POLISH_F32_CAVI
+    if config.nu_n_iter is not None:
+        nu_n_iter = int(config.nu_n_iter)
+    elif f32:
+        nu_n_iter = NU_FP_F32_CAVI
+    else:
+        nu_n_iter = None
     if (
         flags.PALLAS_ESTEP
         and _use_fused_lambda(config.force_fused)
@@ -324,10 +349,12 @@ def solve_eta(lam, nu, N, sumtheta, mu, invSigma, config):
     ):
         from ..ops.pallas.lambda_kernel import estep_eta_fused
 
-        return estep_eta_fused(lam, nu, N, sumtheta, mu, invSigma, config.K, **kw)
+        return estep_eta_fused(lam, nu, N, sumtheta, mu, invSigma, config.K,
+                               nu_n_iter=nu_n_iter, **kw)
     zeta = update_zeta(lam, nu, config)
     Ndivzeta = calculate_Ndivzeta(N, zeta, config)
-    nu2 = maximize_nu(nu, lam, Ndivzeta, jnp.diagonal(invSigma)[None, :])
+    nu_kw = {} if nu_n_iter is None else {"n_iter": nu_n_iter}
+    nu2 = maximize_nu(nu, lam, Ndivzeta, jnp.diagonal(invSigma)[None, :], **nu_kw)
     lam2 = solve_lambda(lam, nu2, Ndivzeta, sumtheta, mu, invSigma,
                         force_fused=config.force_fused, **kw)
     return zeta, nu2, lam2

@@ -60,7 +60,8 @@ PALLAS_MAX_MK = 128
 _N_POLISH = LAMBDA_POLISH_ITERS
 
 
-def _lambda_solve(lam, nu, ndz, st, mu_col, invS, *, n_iter: int, cg_iter: int):
+def _lambda_solve(lam, nu, ndz, st, mu_col, invS, *, n_iter: int, cg_iter: int,
+                  n_polish: int = _N_POLISH):
     """Value-level fused Newton solve on (MKP, TB) blocks (see module docs)."""
     MKP = lam.shape[0]
 
@@ -159,7 +160,7 @@ def _lambda_solve(lam, nu, ndz, st, mu_col, invS, *, n_iter: int, cg_iter: int):
         return jnp.where(ok, step, lam)
 
     lam = jax.lax.fori_loop(0, n_iter, newton, lam)
-    return jax.lax.fori_loop(0, _N_POLISH, polish, lam)
+    return jax.lax.fori_loop(0, n_polish, polish, lam)
 
 
 def _pad_transposed(x, width, Bp, fill=0.0):
@@ -182,29 +183,32 @@ def _shared_blocks(mu, invSigma, MK, MKP):
 
 
 def _lambda_kernel(lam_ref, nu_ref, ndz_ref, st_ref, mu_ref, invS_ref, out_ref,
-                   *, n_iter: int, cg_iter: int):
+                   *, n_iter: int, cg_iter: int, n_polish: int):
     out_ref[:] = _lambda_solve(
         lam_ref[:], nu_ref[:], ndz_ref[:], st_ref[:],
         mu_ref[:][:, 0:1], invS_ref[:], n_iter=n_iter, cg_iter=cg_iter,
+        n_polish=n_polish,
     )
 
 
 def _lambda_kernel_r(lam_ref, nu_ref, ndz_ref, st_ref, mu_ref, invS_ref,
-                     out_ref, *, n_iter: int, cg_iter: int):
+                     out_ref, *, n_iter: int, cg_iter: int, n_polish: int):
     """Restart-batched variant: blocks carry a leading singleton restart dim."""
     out_ref[0] = _lambda_solve(
         lam_ref[0], nu_ref[0], ndz_ref[0], st_ref[0],
         mu_ref[0][:, 0:1], invS_ref[0], n_iter=n_iter, cg_iter=cg_iter,
+        n_polish=n_polish,
     )
 
 
 @functools.partial(
-    jax.jit, static_argnames=("n_iter", "cg_iter", "tile_b", "interpret")
+    jax.jit,
+    static_argnames=("n_iter", "cg_iter", "polish_iter", "tile_b", "interpret"),
 )
 def maximize_lambda_fused(
     lam0, nu, Ndivzeta, sumtheta, mu, invSigma,
-    n_iter: int = 7, cg_iter: int = None, tile_b: int = 2048,
-    interpret: bool = False,
+    n_iter: int = 7, cg_iter: int = None, polish_iter: int = None,
+    tile_b: int = 2048, interpret: bool = False,
 ):
     """Drop-in fused equivalent of ops.solvers.maximize_lambda.
 
@@ -216,6 +220,8 @@ def maximize_lambda_fused(
         raise ValueError(f"MK={MK} exceeds the fused kernel's lane budget {PALLAS_MAX_MK}")
     if cg_iter is None:
         cg_iter = min(MK, CG_ITER_F32_CAP)  # f32 kernel: see solvers.maximize_lambda
+    if polish_iter is None:
+        polish_iter = _N_POLISH
     dt = jnp.float32
     MKP = max(8, ((MK + 7) // 8) * 8)
     # Never let the tile exceed the (128-rounded) batch: under vmap this is
@@ -232,7 +238,8 @@ def maximize_lambda_fused(
 
     grid = (Bp // tile_b,)
     out = pl.pallas_call(
-        functools.partial(_lambda_kernel, n_iter=n_iter, cg_iter=cg_iter),
+        functools.partial(_lambda_kernel, n_iter=n_iter, cg_iter=cg_iter,
+                          n_polish=polish_iter),
         out_shape=jax.ShapeDtypeStruct((MKP, Bp), dt),
         grid=grid,
         in_specs=[
@@ -255,12 +262,13 @@ def maximize_lambda_fused(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("n_iter", "cg_iter", "tile_b", "interpret")
+    jax.jit,
+    static_argnames=("n_iter", "cg_iter", "polish_iter", "tile_b", "interpret"),
 )
 def maximize_lambda_fused_restarts(
     lam0, nu, Ndivzeta, sumtheta, mu, invSigma,
-    n_iter: int = 7, cg_iter: int = None, tile_b: int = 2048,
-    interpret: bool = False,
+    n_iter: int = 7, cg_iter: int = None, polish_iter: int = None,
+    tile_b: int = 2048, interpret: bool = False,
 ):
     """Restart-batched fused λ solve: lam0/nu/Ndivzeta/sumtheta are
     (R, D, MK); mu is (R, MK); invSigma is (R, MK, MK) — each restart lane
@@ -272,6 +280,8 @@ def maximize_lambda_fused_restarts(
         raise ValueError(f"MK={MK} exceeds the fused kernel's lane budget {PALLAS_MAX_MK}")
     if cg_iter is None:
         cg_iter = min(MK, CG_ITER_F32_CAP)  # f32 kernel: see solvers.maximize_lambda
+    if polish_iter is None:
+        polish_iter = _N_POLISH
     dt = jnp.float32
     MKP = max(8, ((MK + 7) // 8) * 8)
     tile_b = min(tile_b, ((D + 127) // 128) * 128)
@@ -298,7 +308,8 @@ def maximize_lambda_fused_restarts(
 
     grid = (R, Dp // tile_b)
     out = pl.pallas_call(
-        functools.partial(_lambda_kernel_r, n_iter=n_iter, cg_iter=cg_iter),
+        functools.partial(_lambda_kernel_r, n_iter=n_iter, cg_iter=cg_iter,
+                          n_polish=polish_iter),
         out_shape=jax.ShapeDtypeStruct((R, MKP, Dp), dt),
         grid=grid,
         in_specs=[
@@ -322,7 +333,8 @@ def maximize_lambda_fused_restarts(
 
 
 def _estep_solve(lam, nu_in, Np, st, mu_col, invS, *, offsets, K, M,
-                 n_iter: int, cg_iter: int):
+                 n_iter: int, cg_iter: int,
+                 nu_n_iter: int = _NU_FP_ITERS, n_polish: int = _N_POLISH):
     """ζ (src/MMCTM.jl:172-181), Ndivζ (:119-125), the ν solve (:156-170)
     and the λ solve (:127-143) on one (MKP, TB) block. Mirrors
     ops.solvers.maximize_nu / maximize_lambda op-for-op so the fused and XLA
@@ -366,22 +378,25 @@ def _estep_solve(lam, nu_in, Np, st, mu_col, invS, *, offsets, K, M,
         step = jnp.clip(nu - g / hess, _NU_LB)
         return jnp.where(jnp.isfinite(step), step, nu)
 
-    nu = jax.lax.fori_loop(0, _NU_FP_ITERS, fp, nu_in)
+    nu = jax.lax.fori_loop(0, nu_n_iter, fp, nu_in)
     nu = jax.lax.fori_loop(0, _NU_POLISH, nu_polish, nu)
 
     lam_out = _lambda_solve(
-        lam, nu, ndz, st, mu_col, invS, n_iter=n_iter, cg_iter=cg_iter
+        lam, nu, ndz, st, mu_col, invS, n_iter=n_iter, cg_iter=cg_iter,
+        n_polish=n_polish,
     )
     return zeta, nu, lam_out
 
 
 def _estep_kernel(lam_ref, nu_ref, N_ref, st_ref, mu_ref, invS_ref,
                   zeta_ref, nu_out_ref, lam_out_ref,
-                  *, offsets, K, M, n_iter: int, cg_iter: int):
+                  *, offsets, K, M, n_iter: int, cg_iter: int,
+                  nu_n_iter: int, n_polish: int):
     zeta, nu, lam = _estep_solve(
         lam_ref[:], nu_ref[:], N_ref[:], st_ref[:],
         mu_ref[:][:, 0:1], invS_ref[:],
         offsets=offsets, K=K, M=M, n_iter=n_iter, cg_iter=cg_iter,
+        nu_n_iter=nu_n_iter, n_polish=n_polish,
     )
     zeta_ref[:] = zeta
     nu_out_ref[:] = nu
@@ -389,11 +404,16 @@ def _estep_kernel(lam_ref, nu_ref, N_ref, st_ref, mu_ref, invS_ref,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("K", "n_iter", "cg_iter", "tile_b", "interpret")
+    jax.jit,
+    static_argnames=(
+        "K", "n_iter", "cg_iter", "polish_iter", "nu_n_iter", "tile_b",
+        "interpret",
+    ),
 )
 def estep_eta_fused(
     lam0, nu, N, sumtheta, mu, invSigma, K,
-    n_iter: int = 7, cg_iter: int = None, tile_b: int = 2048,
+    n_iter: int = 7, cg_iter: int = None, polish_iter: int = None,
+    nu_n_iter: int = None, tile_b: int = 2048,
     interpret: bool = False,
 ):
     """Fused E-step η update: (ζ, ν', λ') from one kernel launch.
@@ -415,6 +435,10 @@ def estep_eta_fused(
         raise ValueError(f"MK={MK} exceeds the fused kernel's lane budget {PALLAS_MAX_MK}")
     if cg_iter is None:
         cg_iter = min(MK, CG_ITER_F32_CAP)  # f32 kernel: see solvers.maximize_lambda
+    if polish_iter is None:
+        polish_iter = _N_POLISH
+    if nu_n_iter is None:
+        nu_n_iter = _NU_FP_ITERS
     dt = jnp.float32
     MKP = max(8, ((MK + 7) // 8) * 8)
     MP = max(8, ((M + 7) // 8) * 8)
@@ -439,6 +463,7 @@ def estep_eta_fused(
         functools.partial(
             _estep_kernel, offsets=offsets, K=K, M=M,
             n_iter=n_iter, cg_iter=cg_iter,
+            nu_n_iter=nu_n_iter, n_polish=polish_iter,
         ),
         out_shape=(
             jax.ShapeDtypeStruct((MP, Bp), dt),

@@ -97,6 +97,16 @@ CG_ITER_F32_CAP = 10
 # CTMBaseConfig.lambda_n_iter without touching solver code.
 LAMBDA_NITER_F32_CAVI = 3
 
+# Companion warm-start budgets, probed the same way at the same operating
+# point (BENCH_LOCAL nu_polish_budget_r4): inside an f32 fit, ONE λ polish
+# round and FOUR ν fixed-point sweeps hold iteration counts and best-ll to
+# the 6th decimal on BRCA and PCAWG (PCAWG unchunked 8.32 → 5.24 s
+# combined with the Newton cap) — the second polish and sweeps 5-8 only
+# matter for cold starts, which fit loops never see after iteration 1.
+# float64 and standalone solver calls keep the full budgets.
+LAMBDA_POLISH_F32_CAVI = 1
+NU_FP_F32_CAVI = 4
+
 __all__ = [
     "lambda_objective",
     "lambda_grad",
@@ -204,9 +214,10 @@ def _cg_solve(w, g, invSigma, n_iter):
     return x
 
 
-@partial(jax.jit, static_argnames=("n_iter", "cg_iter"))
+@partial(jax.jit, static_argnames=("n_iter", "cg_iter", "polish_iter"))
 def maximize_lambda(
-    lam0, nu, Ndivzeta, sumtheta, mu, invSigma, n_iter: int = 7, cg_iter: int = None
+    lam0, nu, Ndivzeta, sumtheta, mu, invSigma, n_iter: int = 7,
+    cg_iter: int = None, polish_iter: int = None,
 ):
     """Batched λ solve: lam0/nu/Ndivzeta/sumtheta are (B, MK); μ, Σ⁻¹ shared.
 
@@ -312,8 +323,10 @@ def maximize_lambda(
         ok = jnp.all(jnp.isfinite(step), axis=-1, keepdims=True)
         return jnp.where(ok, step, lam)
 
+    if polish_iter is None:
+        polish_iter = LAMBDA_POLISH_ITERS
     lam = jax.lax.fori_loop(0, n_iter, body, lam0)
-    return jax.lax.fori_loop(0, LAMBDA_POLISH_ITERS, polish, lam)
+    return jax.lax.fori_loop(0, polish_iter, polish, lam)
 
 
 # ---------------------------------------------------------------------------

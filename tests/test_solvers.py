@@ -390,16 +390,72 @@ class TestF32CaviNewtonBudget:
         m.fit(maxiter=maxiter)
         return np.asarray(m.ll)
 
-    def test_f32_default_equals_cavi_budget(self):
-        from multimodalmusig_tpu.ops.solvers import LAMBDA_NITER_F32_CAVI
+    def _spy_budgets(self, monkeypatch):
+        """Record the (n_iter, polish_iter) every fit-loop λ solve receives
+        and the n_iter every ν solve receives. The tiny fixture's solves
+        converge identically under any budget, so the resolution contract
+        is asserted structurally (what solve_eta passes), not numerically."""
+        from multimodalmusig_tpu.models import ctm_base
+        from multimodalmusig_tpu.ops import solvers as sv
 
+        seen = {"lambda": set(), "nu": set()}
+        orig_l, orig_n = ctm_base.solve_lambda, sv.maximize_nu
+
+        def spy_lambda(*a, **kw):
+            seen["lambda"].add((kw.get("n_iter"), kw.get("polish_iter")))
+            return orig_l(*a, **kw)
+
+        def spy_nu(*a, **kw):
+            seen["nu"].add(kw.get("n_iter"))
+            return orig_n(*a, **kw)
+
+        # patch the names ctm_base actually calls through (its module
+        # globals — solve_eta's call sites resolve there, not in ops.solvers)
+        monkeypatch.setattr(ctm_base, "solve_lambda", spy_lambda)
+        monkeypatch.setattr(ctm_base, "maximize_nu", spy_nu)
+        jax.clear_caches()  # budgets resolve at trace time
+        return seen
+
+    def test_f32_default_resolves_to_cavi_budgets(self, monkeypatch):
+        from multimodalmusig_tpu.ops.solvers import (
+            LAMBDA_NITER_F32_CAVI,
+            LAMBDA_POLISH_F32_CAVI,
+            NU_FP_F32_CAVI,
+        )
+
+        seen = self._spy_budgets(monkeypatch)
         dflt = self._fit(jnp.float32)
-        capped = self._fit(jnp.float32, lambda_n_iter=LAMBDA_NITER_F32_CAVI)
+        assert seen["lambda"] == {(LAMBDA_NITER_F32_CAVI, LAMBDA_POLISH_F32_CAVI)}
+        assert seen["nu"] == {NU_FP_F32_CAVI}
+        jax.clear_caches()
+        # quality pin: the warm-start budgets land on the same optimum as
+        # the full cold-start budgets
         full = self._fit(jnp.float32, lambda_n_iter=7)
-        np.testing.assert_array_equal(dflt, capped)
-        assert not np.array_equal(dflt, full)  # the cap genuinely engages
-        # quality pin: the reduced budget lands on the same optimum
         np.testing.assert_allclose(dflt, full, rtol=1e-4)
+        jax.clear_caches()
+
+    def test_f32_overrides_beat_the_caps(self, monkeypatch):
+        import dataclasses
+        from multimodalmusig_tpu.models.mmctm import MMCTM
+
+        seen = self._spy_budgets(monkeypatch)
+        m = MMCTM([2, 2], [0.1, 0.1], self.X, dtype=jnp.float32)
+        m.config = dataclasses.replace(
+            m.config, lambda_n_iter=9, lambda_polish_iter=2, nu_n_iter=8
+        )
+        m.fit(maxiter=3)
+        assert seen["lambda"] == {(9, 2)}
+        assert seen["nu"] == {8}
+        jax.clear_caches()
+
+    def test_f64_default_keeps_full_budgets(self, monkeypatch):
+        seen = self._spy_budgets(monkeypatch)
+        self._fit(jnp.float64, maxiter=3)
+        # None = the solvers' cold-start defaults (7 Newton, 2 polish, 8 ν
+        # sweeps) — the machine-precision parity suite depends on them
+        assert seen["lambda"] == {(None, None)}
+        assert seen["nu"] == {None}
+        jax.clear_caches()
 
     def test_f64_default_equals_full_budget(self):
         dflt = self._fit(jnp.float64)

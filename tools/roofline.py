@@ -142,14 +142,17 @@ def main():
             f_theta = 10.0 * D * VK
         # ζ: exp + block sums
         f_zeta = 3.0 * D * MK
-        # ν: NU_FP_ITERS fixed-point sweeps + 4 Newton polish, ~6 ops each
+        # budgets: the f32 fit-path warm-start caps (ctm_base.solve_eta)
         from multimodalmusig_tpu.ops.solvers import (
-            LAMBDA_POLISH_ITERS,
-            NU_FP_ITERS,
+            CG_ITER_F32_CAP,
+            LAMBDA_NITER_F32_CAVI,
+            LAMBDA_POLISH_F32_CAVI,
+            NU_FP_F32_CAVI,
             _N_BACKTRACK,
         )
 
-        f_nu = (NU_FP_ITERS + 4) * 6.0 * D * MK
+        # ν: fixed-point sweeps + 4 Newton polish, ~6 ops each
+        f_nu = (NU_FP_F32_CAVI + 4) * 6.0 * D * MK
         # λ: (LAMBDA_NITER_F32_CAVI Newton + polish) rounds — the f32 fit
         # path's warm-start budget (ctm_base.solve_eta); each = gradient
         # matvec (2·MK²·D)
@@ -157,12 +160,7 @@ def main():
         #    (cg_iter = the f32 default, min(MK, CG_ITER_F32_CAP))
         #  + line search: 2 exps + (3 over + _N_BACKTRACK) candidates
         #    × ~3·MK·D + sqrt chain
-        from multimodalmusig_tpu.ops.solvers import (
-            CG_ITER_F32_CAP,
-            LAMBDA_NITER_F32_CAVI,
-        )
-
-        n_newton = LAMBDA_NITER_F32_CAVI + LAMBDA_POLISH_ITERS
+        n_newton = LAMBDA_NITER_F32_CAVI + LAMBDA_POLISH_F32_CAVI
         cg_iter = min(MK, CG_ITER_F32_CAP)
         f_round = (
             2.0 * MK * MK * D
