@@ -252,9 +252,9 @@ def maximize_lambda_fused(
         ],
         out_specs=pl.BlockSpec((MKP, tile_b), lambda i: (0, i), memory_space=pltpu.VMEM),
         cost_estimate=pl.CostEstimate(
-            flops=2 * Bp * MKP * MKP * (n_iter + _N_POLISH) * (cg_iter + 3),
+            flops=2 * Bp * MKP * MKP * (n_iter + polish_iter) * (cg_iter + 3),
             bytes_accessed=5 * Bp * MKP * 4,
-            transcendentals=2 * Bp * MKP * (n_iter + _N_POLISH),
+            transcendentals=2 * Bp * MKP * (n_iter + polish_iter),
         ),
         interpret=interpret,
     )(lam_p, nu_p, ndz_p, st_p, mu_p, invS_p)
@@ -478,9 +478,9 @@ def estep_eta_fused(
         ],
         out_specs=(tile(MP), tile(MKP), tile(MKP)),
         cost_estimate=pl.CostEstimate(
-            flops=2 * Bp * MKP * MKP * (n_iter + _N_POLISH) * (cg_iter + 3),
+            flops=2 * Bp * MKP * MKP * (n_iter + polish_iter) * (cg_iter + 3),
             bytes_accessed=8 * Bp * MKP * 4,
-            transcendentals=3 * Bp * MKP * (n_iter + _N_POLISH + _NU_FP_ITERS),
+            transcendentals=3 * Bp * MKP * (n_iter + polish_iter + nu_n_iter),
         ),
         interpret=interpret,
     )(lam_p, nu_p, N_p, st_p, mu_p, invS_p)

@@ -140,7 +140,10 @@ def suggest_compact_schedule(
             return 0
         p = s_p / P
         sd = R * np.sqrt(p * (1.0 - p) * (1.0 / P + 1.0 / R))
-        return int(np.ceil(R * p + margin_z * sd))
+        # clamp: more than R production survivors is impossible — without it
+        # a near-1 pilot fraction plus the margin prices early phases at
+        # bucket(>R), a cost level the real fit can never reach
+        return min(int(np.ceil(R * p + margin_z * sd)), R)
 
     surv_bucket = np.array([bucket(surv_pred(c)) for c in cuts], dtype=np.float64)
     cuts_f = cuts.astype(np.float64)
@@ -247,16 +250,15 @@ def auto_compact_schedule(
     # AOT-split compile from execution so the pilot runs ONCE: lowering +
     # compiling first, then timing the single execution that also yields
     # n_iters (a naive "cold run for iters, warm re-run for the rate" pays
-    # the whole pilot fit twice).
-    run = jax.jit(
-        lambda ks: fit_restarts_from_keys(
-            ks, X, config, alpha,
-            maxiter=maxiter, tol=tol, init_method=init_method,
-        )
-    )
-    compiled = run.lower(keys).compile()
+    # the whole pilot fit twice). The module-level jit alias (not a fresh
+    # jit(lambda) per call) keeps X/alpha as runtime arguments and lets a
+    # second auto-compact in the same process hit the trace cache.
+    compiled = _pilot_fit_jit.lower(
+        keys, X, config, alpha,
+        maxiter=maxiter, tol=tol, init_method=init_method,
+    ).compile()
     t0 = time.perf_counter()
-    result = jax.block_until_ready(compiled(keys))
+    result = jax.block_until_ready(compiled(keys, X, alpha))
     t_warm = time.perf_counter() - t0
     iters = np.asarray(jax.device_get(result.n_iters))
     # unchunked device work = every lane runs until the slowest terminates
@@ -338,6 +340,13 @@ def fit_restarts_from_keys(
         return mmctm_mod.fit(state, X, config, maxiter=maxiter, tol=tol)
 
     return jax.vmap(one)(keys)
+
+
+# jitted alias of fit_restarts_from_keys for AOT lowering (auto-compact's
+# single-execution pilot); module-level so repeated pilots share the cache
+_pilot_fit_jit = partial(
+    jax.jit, static_argnames=("config", "maxiter", "tol", "init_method")
+)(fit_restarts_from_keys)
 
 
 @partial(jax.jit, static_argnames=("config", "maxiter", "init_method"))
