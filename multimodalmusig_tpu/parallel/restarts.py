@@ -257,10 +257,17 @@ def auto_compact_schedule(
         keys, X, config, alpha,
         maxiter=maxiter, tol=tol, init_method=init_method,
     ).compile()
+    # Sync by fetching an output leaf, NOT jax.block_until_ready: on the
+    # remote-attached (axon) backend block_until_ready returned immediately
+    # on AOT-compiled outputs, timing only the enqueue — the measured
+    # lane-iters/s came out ~300x too high, which inflated the DP's
+    # boundary charge and made auto-compact silently under-compact
+    # (caught by examples/large_scale.py reporting 11.8M lane-iters/s).
+    # device_get cannot return before the executable has produced the data.
     t0 = time.perf_counter()
-    result = jax.block_until_ready(compiled(keys, X, alpha))
-    t_warm = time.perf_counter() - t0
+    result = compiled(keys, X, alpha)
     iters = np.asarray(jax.device_get(result.n_iters))
+    t_warm = time.perf_counter() - t0
     # unchunked device work = every lane runs until the slowest terminates
     rate = pilot_R * float(iters.max()) / max(t_warm, 1e-9)
     t_boundary = measure_boundary_seconds()
