@@ -77,6 +77,19 @@ def test_dp_margin_backs_off_bucket_edges():
     assert guarded[0] >= exact[0]
 
 
+def test_dp_survivor_prediction_clamped_to_production():
+    """A cut leaving nearly the whole pilot surviving must not be priced at
+    bucket(>R): margin-inflated predictions are clamped to the production
+    lane count, so the DP still places the obviously profitable cut where
+    99% of lanes finish (review finding, round 4)."""
+    iters = np.array([100] * 99 + [400])
+    sched = suggest_compact_schedule(
+        iters, maxiter=1000, boundary_cost_lane_iters=10.0,
+        production_restarts=1000,
+    )
+    assert sched and sched[0] >= 100
+
+
 def test_dp_production_scaling_compacts_small_pilots_more():
     """A 64-lane pilot fed in raw makes the absolute boundary charge look
     ~R/P times too expensive for an R=1000 production fit; passing
