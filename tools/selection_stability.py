@@ -29,6 +29,11 @@ import numpy as np
 
 
 def compare(R, schedule, X, config, alpha, maxiter, tol):
+    from multimodalmusig_tpu.parallel.rescore import (
+        pick_optimal_modality_restarts_np,
+        pick_optimal_restart_np,
+        rescore_mmctm_f64,
+    )
     from multimodalmusig_tpu.parallel.restarts import (
         fit_restarts,
         pick_optimal_modality_restarts,
@@ -36,7 +41,7 @@ def compare(R, schedule, X, config, alpha, maxiter, tol):
     )
 
     key = jax.random.key(147959412)
-    lls = {}
+    lls, lls64 = {}, {}
     for label, sched in (("unchunked", None), ("schedule", schedule)):
         t0 = time.perf_counter()
         result = fit_restarts(
@@ -45,37 +50,78 @@ def compare(R, schedule, X, config, alpha, maxiter, tol):
         )
         ll = np.asarray(jax.device_get(result.ll), np.float64)
         lls[label] = ll
-        print(f"R={R} {label}: {time.perf_counter() - t0:.2f}s "
+        t_fit = time.perf_counter() - t0
+        # exact f64 host re-scoring of EVERY lane (what selection reads now)
+        t0 = time.perf_counter()
+        lls64[label] = rescore_mmctm_f64(
+            result.state.lam, result.state.gamma, X, config
+        )
+        print(f"R={R} {label}: fit {t_fit:.2f}s rescore "
+              f"{time.perf_counter() - t0:.2f}s "
               f"finite={np.isfinite(ll).all(axis=1).sum()}/{R}")
 
     a, b = lls["unchunked"], lls["schedule"]
+    a64, b64 = lls64["unchunked"], lls64["schedule"]
     finite = np.isfinite(a).all(axis=1) & np.isfinite(b).all(axis=1)
     drift = float(np.max(np.abs(a[finite] - b[finite]))) if finite.any() else float("nan")
+    # state-only drift: exact scoring of both arms' states — what remains
+    # after the executable-dependent f32 scoring noise is removed
+    state_drift = (
+        float(np.max(np.abs(a64[finite] - b64[finite]))) if finite.any() else float("nan")
+    )
+    # scoring-only noise: f32 in-fit metric vs exact f64 score of the SAME state
+    score_noise = float(
+        max(np.max(np.abs(a[finite] - a64[finite])),
+            np.max(np.abs(b[finite] - b64[finite])))
+    ) if finite.any() else float("nan")
 
     win_a = np.asarray(pick_optimal_modality_restarts(jnp.asarray(a)))
     win_b = np.asarray(pick_optimal_modality_restarts(jnp.asarray(b)))
     pick_a = int(pick_optimal_restart(jnp.asarray(a)))
     pick_b = int(pick_optimal_restart(jnp.asarray(b)))
+    win_a64 = pick_optimal_modality_restarts_np(a64)
+    win_b64 = pick_optimal_modality_restarts_np(b64)
+    pick_a64 = pick_optimal_restart_np(a64)
+    pick_b64 = pick_optimal_restart_np(b64)
 
     # near-tie margin: winner's lead over the runner-up, per modality
-    margins = []
-    for m in range(a.shape[1]):
-        col = np.where(np.isfinite(a[:, m]), a[:, m], -np.inf)
-        top2 = np.sort(col)[-2:]
-        margins.append(float(top2[1] - top2[0]))
+    def margins_of(ll):
+        out = []
+        for m in range(ll.shape[1]):
+            col = np.where(np.isfinite(ll[:, m]), ll[:, m], -np.inf)
+            top2 = np.sort(col)[-2:]
+            out.append(float(top2[1] - top2[0]))
+        return out
+
+    margins = margins_of(a)
+    margins64 = margins_of(a64)
 
     rec = {
         "R": R,
         "schedule": list(schedule),
+        # f32 in-fit metric picks (the pre-round-5 selection inputs)
         "stage1_winners_agree": bool((win_a == win_b).all()),
         "winners_unchunked": win_a.tolist(),
         "winners_schedule": win_b.tolist(),
         "dense_rank_pick_agrees": pick_a == pick_b,
         "pick_unchunked": pick_a,
         "pick_schedule": pick_b,
+        # exact f64 host re-scores (what selection reads since round 5)
+        "stage1_winners_agree_f64": bool((win_a64 == win_b64).all()),
+        "winners_unchunked_f64": win_a64.tolist(),
+        "winners_schedule_f64": win_b64.tolist(),
+        "dense_rank_pick_agrees_f64": pick_a64 == pick_b64,
+        "pick_unchunked_f64": pick_a64,
+        "pick_schedule_f64": pick_b64,
         "max_crossrun_ll_drift": drift,
+        "max_crossrun_state_drift_f64": state_drift,
+        "max_f32_scoring_noise": score_noise,
         "winner_margins": margins,
+        "winner_margins_f64": margins64,
         "margin_over_drift": [m / drift if drift > 0 else float("inf") for m in margins],
+        "margin_over_state_drift_f64": [
+            m / state_drift if state_drift > 0 else float("inf") for m in margins64
+        ],
     }
     print(json.dumps(rec, indent=2))
     return rec
@@ -108,10 +154,10 @@ def main():
                             "BENCH_LOCAL.json")
         with open(path) as f:
             data = json.load(f)
-        data["selection_stability_r4"] = recs
+        data["selection_stability_r5"] = recs
         with open(path, "w") as f:
             json.dump(data, f, indent=1)
-        print(f"recorded selection_stability_r4 -> {path}")
+        print(f"recorded selection_stability_r5 -> {path}")
 
 
 if __name__ == "__main__":
