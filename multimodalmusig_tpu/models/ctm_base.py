@@ -29,6 +29,7 @@ __all__ = [
     "solve_nu",
     "solve_lambda",
     "solve_eta",
+    "resolved_budgets",
     "update_mu_vec",
     "update_Sigma_mats",
     "spd_inverse",
@@ -298,10 +299,51 @@ def solve_lambda(lam, nu, Ndivzeta, sumtheta, mu, invSigma,
     return maximize_lambda(lam, nu, Ndivzeta, sumtheta, mu, invSigma, **kw)
 
 
+def resolved_budgets(config) -> dict:
+    """The inner-solver budgets a fit loop with this config actually runs:
+    {"lambda_n_iter", "lambda_cg_iter", "lambda_polish_iter", "nu_n_iter"},
+    None meaning the solver's own cold-start default (ops/solvers.py).
+
+    Warm-started fit-loop solves need far smaller budgets than the
+    cold-start defaults — measured cliffs and rationale at ops/solvers.py
+    LAMBDA_NITER_F32_CAVI / LAMBDA_POLISH_F32_CAVI / NU_FP_F32_CAVI. The
+    caps apply ONLY to float32 fits (float64 keeps the full budgets — the
+    machine-precision trajectory-parity suite needs them), were tuned on
+    BRCA and PCAWG, and can be lifted globally with MUSIG_F32_FULL_BUDGETS=1
+    or per-model via the config fields (which always win). Exposed as a
+    function so verbose fit output and tests can report exactly what a fit
+    resolved (ADVICE r4: the silent f32 shrink must be inspectable)."""
+    from ..ops import flags
+    from ..ops.solvers import (
+        LAMBDA_NITER_F32_CAVI,
+        LAMBDA_POLISH_F32_CAVI,
+        NU_FP_F32_CAVI,
+    )
+
+    f32 = (
+        jnp.dtype(config.dtype) == jnp.dtype(jnp.float32)
+        and not flags.F32_FULL_BUDGETS
+    )
+    out = {
+        "lambda_n_iter": LAMBDA_NITER_F32_CAVI if f32 else None,
+        "lambda_cg_iter": None,
+        "lambda_polish_iter": LAMBDA_POLISH_F32_CAVI if f32 else None,
+        "nu_n_iter": NU_FP_F32_CAVI if f32 else None,
+    }
+    for name in out:
+        if getattr(config, name) is not None:
+            out[name] = int(getattr(config, name))
+    return out
+
+
 def solve_eta(lam, nu, N, sumtheta, mu, invSigma, config):
     """The η-side of one batched `fitdoc!` (src/MMCTM.jl:450-455, minus θ):
     ζ (closed form) → N/ζ → ν solve → λ solve, for all documents at once.
     Returns (ζ, ν', λ').
+
+    Inner-solver budgets come from `resolved_budgets(config)` (float32 fits
+    default to the measured warm-start caps; MUSIG_F32_FULL_BUDGETS=1 or
+    the config fields override).
 
     Kernel policy, decided by measurement (tools/pallas_fit_ab.py, 100
     vmapped BRCA restarts on the v5e chip): the λ solve alone fused
@@ -312,36 +354,18 @@ def solve_eta(lam, nu, N, sumtheta, mu, invSigma, config):
     to f32 rounding (mirrored op-for-op; tests/test_pallas_kernels.py).
     """
     from ..ops import flags
-    from ..ops.solvers import (
-        LAMBDA_NITER_F32_CAVI,
-        LAMBDA_POLISH_F32_CAVI,
-        NU_FP_F32_CAVI,
-    )
 
-    # Warm-started fit-loop solves need far smaller budgets than the
-    # solvers' cold-start defaults — measured cliffs and rationale at
-    # ops/solvers.py LAMBDA_NITER_F32_CAVI / LAMBDA_POLISH_F32_CAVI /
-    # NU_FP_F32_CAVI. float64 keeps the full budgets (the
-    # machine-precision trajectory-parity suite needs them). Each config
-    # field overrides its budget independently.
-    f32 = jnp.dtype(config.dtype) == jnp.dtype(jnp.float32)
-    kw = {}
-    if config.lambda_n_iter is not None:
-        kw["n_iter"] = int(config.lambda_n_iter)
-    elif f32:
-        kw["n_iter"] = LAMBDA_NITER_F32_CAVI
-    if config.lambda_cg_iter is not None:
-        kw["cg_iter"] = int(config.lambda_cg_iter)
-    if config.lambda_polish_iter is not None:
-        kw["polish_iter"] = int(config.lambda_polish_iter)
-    elif f32:
-        kw["polish_iter"] = LAMBDA_POLISH_F32_CAVI
-    if config.nu_n_iter is not None:
-        nu_n_iter = int(config.nu_n_iter)
-    elif f32:
-        nu_n_iter = NU_FP_F32_CAVI
-    else:
-        nu_n_iter = None
+    budgets = resolved_budgets(config)
+    kw = {
+        solver_name: budgets[field]
+        for solver_name, field in (
+            ("n_iter", "lambda_n_iter"),
+            ("cg_iter", "lambda_cg_iter"),
+            ("polish_iter", "lambda_polish_iter"),
+        )
+        if budgets[field] is not None
+    }
+    nu_n_iter = budgets["nu_n_iter"]
     if (
         flags.PALLAS_ESTEP
         and _use_fused_lambda(config.force_fused)

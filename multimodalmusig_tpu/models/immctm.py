@@ -790,6 +790,11 @@ class IMMCTM:
         update_sigma = kwargs.pop("updateΣ", update_sigma)
         if kwargs:
             raise TypeError(f"unexpected kwargs: {sorted(kwargs)}")
+        if verbose:
+            from .ctm_base import resolved_budgets
+
+            # surface the f32 warm-start solver caps (see MMCTM.fit)
+            print(f"inner-solver budgets: {resolved_budgets(self.config)}")
         result = jax.jit(
             fit,
             static_argnames=("config", "maxiter", "tol", "verbose", "autoalpha", "update_sigma"),

@@ -895,6 +895,14 @@ class MMCTM:
         update_sigma = kwargs.pop("updateΣ", update_sigma)
         if kwargs:
             raise TypeError(f"unexpected kwargs: {sorted(kwargs)}")
+        if verbose:
+            from .ctm_base import resolved_budgets
+
+            # float32 fits silently resolve the warm-start solver caps
+            # (measured on BRCA/PCAWG) — surface them so users of harsher
+            # data know what to raise (config fields or
+            # MUSIG_F32_FULL_BUDGETS=1; see ctm_base.resolved_budgets)
+            print(f"inner-solver budgets: {resolved_budgets(self.config)}")
         result = jax.jit(
             fit,
             static_argnames=("config", "maxiter", "tol", "verbose", "autoalpha", "update_sigma"),

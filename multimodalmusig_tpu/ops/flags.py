@@ -27,6 +27,14 @@ PALLAS_ESTEP = os.environ.get("MUSIG_PALLAS_ESTEP", "0") == "1"
 # fusion at BRCA shapes; opt-in — models/mmctm.py _use_theta_moments).
 PALLAS_THETA = os.environ.get("MUSIG_PALLAS_THETA", "0") == "1"
 
+# MUSIG_F32_FULL_BUDGETS=1: disable the warm-start inner-solver budget caps
+# that float32 fit loops use by default (LAMBDA_NITER_F32_CAVI=3 etc. —
+# ops/solvers.py). The caps were tuned to their measured accuracy cliffs on
+# BRCA and PCAWG; a dataset with much harsher precision-matrix geometry can
+# set this to restore the cold-start-safe full budgets everywhere without
+# touching per-model config (models/ctm_base.py resolved_budgets).
+F32_FULL_BUDGETS = os.environ.get("MUSIG_F32_FULL_BUDGETS", "0") == "1"
+
 # MUSIG_THETA_FACTORIZED=0: fall back to materializing the (D, V, K) θ
 # softmax in the hot fit loops instead of the exp-factorized moments
 # (ctm_base.theta_moments — exact same math on a matmul schedule; default

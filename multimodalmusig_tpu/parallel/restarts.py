@@ -141,7 +141,17 @@ def suggest_compact_schedule(
         if s_p == 0:
             return 0
         p = s_p / P
-        sd = R * np.sqrt(p * (1.0 - p) * (1.0 / P + 1.0 / R))
+        if R == P:
+            # exact-measurement caller: the iters ARE the production run's
+            # own counts, so there is no pilot-sampling term — only the f32
+            # phase drift (compacted phases are different executables whose
+            # rounding re-ranks lanes near a cut). Model each near-boundary
+            # lane's survival flip as binomial: sd = sqrt(R p (1-p)).
+            sd = np.sqrt(R * p * (1.0 - p))
+        else:
+            # pilot-extrapolation caller: binomial sampling of the pilot
+            # (1/P) plus the production realization (1/R)
+            sd = R * np.sqrt(p * (1.0 - p) * (1.0 / P + 1.0 / R))
         # clamp: more than R production survivors is impossible — without it
         # a near-1 pilot fraction plus the margin prices early phases at
         # bucket(>R), a cost level the real fit can never reach
@@ -252,10 +262,10 @@ def auto_compact_schedule(
     # AOT-split compile from execution so the pilot runs ONCE: lowering +
     # compiling first, then timing the single execution that also yields
     # n_iters (a naive "cold run for iters, warm re-run for the rate" pays
-    # the whole pilot fit twice). The module-level jit alias (not a fresh
-    # jit(lambda) per call) keeps X/alpha as runtime arguments and lets a
-    # second auto-compact in the same process hit the trace cache.
-    compiled = _pilot_fit_jit.lower(
+    # the whole pilot fit twice). fit_restarts_from_keys is itself the
+    # module-level jit, so a second auto-compact in the same process hits
+    # its trace cache.
+    compiled = fit_restarts_from_keys.lower(
         keys, X, config, alpha,
         maxiter=maxiter, tol=tol, init_method=init_method,
     ).compile()
@@ -349,13 +359,6 @@ def fit_restarts_from_keys(
         return mmctm_mod.fit(state, X, config, maxiter=maxiter, tol=tol)
 
     return jax.vmap(one)(keys)
-
-
-# jitted alias of fit_restarts_from_keys for AOT lowering (auto-compact's
-# single-execution pilot); module-level so repeated pilots share the cache
-_pilot_fit_jit = partial(
-    jax.jit, static_argnames=("config", "maxiter", "tol", "init_method")
-)(fit_restarts_from_keys)
 
 
 @partial(jax.jit, static_argnames=("config", "maxiter", "init_method"))

@@ -16,6 +16,14 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--skip-r1000", action="store_true")
+    ap.add_argument(
+        "--record", action="store_true",
+        help="write the pilot distribution + DP inputs + solver constants "
+        "to BASELINE.json bench_schedule_provenance, so "
+        "tests/test_bench_pins.py can verify bench.py's pinned schedules "
+        "stay consistent with the DP and the constants they were tuned "
+        "against (ADVICE r4 #4)",
+    )
     args = ap.parse_args()
 
     import jax
@@ -81,6 +89,34 @@ def main():
             t, _ = timed(1000, tuple(s))
             out["arms"][f"r1000_{name}_{tuple(s)}"] = round(t, 3)
     print(json.dumps(out))
+
+    if args.record:
+        from multimodalmusig_tpu.ops import solvers as sv
+
+        path = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "BASELINE.json",
+        )
+        with open(path) as f:
+            data = json.load(f)
+        data["bench_schedule_provenance"] = {
+            "platform": jax.devices()[0].platform,
+            "pilot_iters": sorted(int(i) for i in iters),
+            "boundary_cost_lane_iters": float(B),
+            "r100_schedule": list(sched100),
+            "r1000_schedule": list(sched1000),
+            "solver_constants": {
+                "LAMBDA_NITER_F32_CAVI": sv.LAMBDA_NITER_F32_CAVI,
+                "LAMBDA_POLISH_F32_CAVI": sv.LAMBDA_POLISH_F32_CAVI,
+                "NU_FP_F32_CAVI": sv.NU_FP_F32_CAVI,
+                "CG_ITER_F32_CAP": sv.CG_ITER_F32_CAP,
+                "LAMBDA_POLISH_ITERS": sv.LAMBDA_POLISH_ITERS,
+                "NU_FP_ITERS": sv.NU_FP_ITERS,
+            },
+        }
+        with open(path, "w") as f:
+            json.dump(data, f, indent=1)
+        print(f"recorded bench_schedule_provenance -> {path}")
 
 
 if __name__ == "__main__":
