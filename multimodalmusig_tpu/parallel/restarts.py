@@ -55,6 +55,7 @@ __all__ = [
     "select_modality_winners_f64",
     "select_best_restart_f64",
     "fit_restarts",
+    "fit_restarts_auto",
     "two_stage_fit",
     "fit_mmctm_restarts",
     "suggest_compact_schedule",
@@ -469,9 +470,22 @@ def fit_restarts(
             jax.random.split(key, restarts), X, config, alpha,
             maxiter=maxiter, tol=tol, init_method=init_method,
         )
-    schedule = _resolve_schedule(chunk_iters, compact_schedule)
+    return _fit_scheduled_from_keys(
+        jax.random.split(key, restarts), X, config, alpha,
+        maxiter=maxiter, tol=tol, init_method=init_method,
+        schedule=_resolve_schedule(chunk_iters, compact_schedule),
+        progress=progress,
+    )
+
+
+def _fit_scheduled_from_keys(
+    keys, X, config, alpha, maxiter, tol, init_method, schedule, progress=None
+) -> MMCTMFitResult:
+    """The compacted (host-driven) restart fit from explicit per-lane keys —
+    the engine behind fit_restarts(compact_schedule=...) and the folded
+    auto-compact production phase (fit_restarts_auto)."""
     X = tuple(X)
-    keys = jax.random.split(key, restarts)
+    restarts = int(keys.shape[0])
     carries = _init_carries(keys, X, config, alpha, maxiter, init_method)
     final = _chunked_drive(
         carries,
@@ -485,6 +499,125 @@ def fit_restarts(
         ),
     )
     return _finalize_carries(final, X, config)
+
+
+@jax.jit
+def _concat_results(a, b):
+    """Concatenate two batched MMCTMFitResults along the restart axis as one
+    device execution (the folded auto-compact fit's pilot + production
+    halves)."""
+    return jax.tree_util.tree_map(
+        lambda x, y: jnp.concatenate([x, y], axis=0), a, b
+    )
+
+
+def fit_restarts_auto(
+    key: jax.Array,
+    X,
+    config: MMCTMConfig,
+    alpha: jnp.ndarray,
+    restarts: int,
+    maxiter: int = 1000,
+    tol: float = 1e-4,
+    init_method: str = "random",
+    pilot_restarts: int = 64,
+    max_boundaries: int = 3,
+    progress=None,
+):
+    """Zero-config compacted restart fit where the pilot IS production work
+    (round-4 verdict #4: the separate-pilot auto_compact_schedule paid a
+    whole 64-lane fit + calibration that the headline never showed).
+
+    The first P = min(pilot_restarts, restarts//2) lanes of the SAME key
+    stream run unchunked; that execution, timed, doubles as the schedule
+    pilot (iteration distribution + lane-iters/s). The DP then derives the
+    remaining R-P lanes' compaction schedule from those measurements plus
+    one boundary-cost calibration, and the rest of the fit runs with it.
+    Nothing is fit twice: every lane's result is production output, so the
+    only overhead vs a pinned schedule is the pilot lanes forgoing
+    compaction (at P<=64 lanes the DP usually declines to compact anyway)
+    and ~50 ms of boundary calibration.
+
+    The per-lane trajectories are the same math as fit_restarts(key, ...):
+    the identical split keys, partitioned into two executions. On CPU the
+    results are bit-identical to the unchunked fit; on TPU the two halves
+    are different executables with the usual f32 rounding drift
+    (NOTES.md round 3) — selection reads f64 re-scores either way.
+
+    Returns (batched MMCTMFitResult over all `restarts` lanes in key order,
+    info dict with the derivation measurements).
+    """
+    import time
+
+    X = tuple(X)
+    restarts = int(restarts)
+    keys = jax.random.split(key, restarts)
+    P = max(2, min(int(pilot_restarts), restarts // 2))
+    if restarts < 8:
+        result = fit_restarts_from_keys(
+            keys, X, config, alpha, maxiter=maxiter, tol=tol,
+            init_method=init_method,
+        )
+        if progress is not None:
+            progress(restarts, restarts)
+        return result, {
+            "pilot_restarts": restarts,
+            "pilot_iters_max": int(np.asarray(result.n_iters).max()),
+            "pilot_iters_median": float(np.median(np.asarray(result.n_iters))),
+            "pilot_warm_s": 0.0,
+            "lane_iters_per_s": 0.0,
+            "boundary_s": 0.0,
+            "boundary_cost_lane_iters": 0.0,
+            "schedule": (),
+            "note": "too few restarts to split; single unchunked fit",
+        }
+
+    compiled = fit_restarts_from_keys.lower(
+        keys[:P], X, config, alpha,
+        maxiter=maxiter, tol=tol, init_method=init_method,
+    ).compile()
+    # device_get an output, not block_until_ready: see auto_compact_schedule
+    t0 = time.perf_counter()
+    pilot = compiled(keys[:P], X, alpha)
+    iters = np.asarray(jax.device_get(pilot.n_iters))
+    t_warm = time.perf_counter() - t0
+    rate = P * float(iters.max()) / max(t_warm, 1e-9)
+    if progress is not None:
+        progress(P, restarts)
+    t_boundary = measure_boundary_seconds()
+    B = t_boundary * rate
+    schedule = suggest_compact_schedule(
+        iters, maxiter=maxiter, boundary_cost_lane_iters=B,
+        max_boundaries=max_boundaries, production_restarts=restarts - P,
+    )
+    info = {
+        "pilot_restarts": P,
+        "pilot_iters_max": int(iters.max()),
+        "pilot_iters_median": float(np.median(iters)),
+        "pilot_warm_s": t_warm,
+        "lane_iters_per_s": rate,
+        "boundary_s": t_boundary,
+        "boundary_cost_lane_iters": B,
+        "schedule": tuple(schedule),
+    }
+    sub_progress = (
+        None if progress is None
+        else lambda d, t: progress(P + d, restarts)
+    )
+    if schedule:
+        rest = _fit_scheduled_from_keys(
+            keys[P:], X, config, alpha, maxiter=maxiter, tol=tol,
+            init_method=init_method, schedule=tuple(schedule),
+            progress=sub_progress,
+        )
+    else:
+        rest = fit_restarts_from_keys(
+            keys[P:], X, config, alpha, maxiter=maxiter, tol=tol,
+            init_method=init_method,
+        )
+        if progress is not None:
+            progress(restarts, restarts)
+    return _concat_results(pilot, rest), info
 
 
 def _repeat_forever(x):
@@ -688,10 +821,17 @@ def two_stage_fit(
     compact_schedule: Optional[Sequence[int]] = None,
     progress=None,
     rescore_f64: bool = True,
+    pilot_restarts: int = 64,
+    auto_info: Optional[dict] = None,
 ):
     """The CLI's full two-stage protocol (run_mmctm.jl:163-180). Returns
     (best stage-2 result (unbatched), stage-1 batched result, stage-2
     batched result, best index).
+
+    `compact_schedule="auto"` runs stage 1 through the folded pilot
+    (fit_restarts_auto: the first `pilot_restarts` production lanes double
+    as the schedule pilot — no work is fit twice); the derivation
+    measurements are written into `auto_info` when a dict is passed.
 
     With `chunk_iters` set, both stages run as host-chunked resumable fits
     (bounded device executions — see fit_restarts), and `progress(stage,
@@ -713,13 +853,34 @@ def two_stage_fit(
     X = tuple(X)
     k1, k2 = jax.random.split(key)
 
-    stage1 = fit_restarts(
-        key=k1, X=X, config=config, alpha=alpha, restarts=restarts,
-        maxiter=maxiter, tol=stage1_tol, init_method=init_method,
-        chunk_iters=chunk_iters, compact_schedule=compact_schedule,
-        progress=None if progress is None else partial(progress, 1),
-    )
-    if progress is not None and chunk_iters is None and not compact_schedule:
+    if isinstance(compact_schedule, str):
+        if compact_schedule != "auto":
+            raise ValueError(
+                f"compact_schedule: expected 'auto' or a tuple, got "
+                f"{compact_schedule!r}"
+            )
+        if chunk_iters is not None:
+            raise ValueError("chunk_iters and compact_schedule='auto' are "
+                             "mutually exclusive")
+        stage1, info = fit_restarts_auto(
+            key=k1, X=X, config=config, alpha=alpha, restarts=restarts,
+            maxiter=maxiter, tol=stage1_tol, init_method=init_method,
+            pilot_restarts=pilot_restarts,
+            progress=None if progress is None else partial(progress, 1),
+        )
+        if auto_info is not None:
+            auto_info.update(info)
+        # fit_restarts_auto streamed its own progress (pilot + production)
+        stage1_reported = True
+    else:
+        stage1 = fit_restarts(
+            key=k1, X=X, config=config, alpha=alpha, restarts=restarts,
+            maxiter=maxiter, tol=stage1_tol, init_method=init_method,
+            chunk_iters=chunk_iters, compact_schedule=compact_schedule,
+            progress=None if progress is None else partial(progress, 1),
+        )
+        stage1_reported = chunk_iters is not None or bool(compact_schedule)
+    if progress is not None and not stage1_reported:
         # single-dispatch stage: no chunk boundaries streamed anything, so
         # report completion once — otherwise --progress with an auto-derived
         # EMPTY schedule (the DP decided no boundary pays) looks like a hang
@@ -802,10 +963,13 @@ def fit_mmctm_restarts(
     total)` streams per-chunk completion when `chunk_iters` is set.
 
     `compact_schedule="auto"` derives the stage-1 straggler-compaction
-    schedule from a pilot fit with a runtime-measured boundary cost
-    (auto_compact_schedule — matches the reference CLI's zero-config
-    ergonomics at R=1000); the derivation is recorded on the returned model
-    as `model.compact_info`.
+    schedule at zero duplicated work: the first `pilot_restarts` production
+    lanes run unchunked and double as the schedule pilot, then the DP
+    schedules the remaining lanes from their measured iteration
+    distribution and a runtime boundary-cost calibration
+    (fit_restarts_auto — matches the reference CLI's zero-config ergonomics
+    at R=1000); the derivation is recorded on the returned model as
+    `model.compact_info`.
 
     Unchunked by default: on a remote-attached accelerator every chunk
     boundary costs a host round-trip that dwarfs the device work (measured
@@ -815,25 +979,7 @@ def fit_mmctm_restarts(
     args = (list(k), list(alpha)) + (() if V is None else (list(V),)) + (X,)
     model = MMCTM(*args, dtype=dtype)
     alpha_arr = jnp.asarray([float(a) for a in alpha], model.config.dtype)
-    if isinstance(compact_schedule, str):
-        if compact_schedule != "auto":
-            raise ValueError(f"compact_schedule: expected 'auto' or a tuple, got {compact_schedule!r}")
-        compact_schedule, info = auto_compact_schedule(
-            jax.random.key(seed), model.Xdense, model.config, alpha_arr,
-            restarts=restarts, maxiter=maxiter, tol=stage1_tol,
-            pilot_restarts=pilot_restarts,
-        )
-        model.compact_info = info
-        if verbose:
-            print(
-                f"auto-compact: schedule={info['schedule']} "
-                f"(boundary {info['boundary_s'] * 1e3:.0f} ms = "
-                f"{info['boundary_cost_lane_iters']:.0f} lane-iters at "
-                f"{info['lane_iters_per_s']:.0f} lane-iters/s; pilot "
-                f"R={info['pilot_restarts']}, median "
-                f"{info['pilot_iters_median']:.0f} iters)"
-            )
-        compact_schedule = compact_schedule or None
+    auto_info: dict = {}
     best, stage1, stage2, best_idx = two_stage_fit(
         jax.random.key(seed),
         model.Xdense,
@@ -848,7 +994,20 @@ def fit_mmctm_restarts(
         compact_schedule=compact_schedule,
         progress=progress,
         rescore_f64=rescore_f64,
+        pilot_restarts=pilot_restarts,
+        auto_info=auto_info,
     )
+    if auto_info:
+        model.compact_info = auto_info
+        if verbose:
+            print(
+                f"auto-compact: schedule={auto_info['schedule']} "
+                f"(pilot = first {auto_info['pilot_restarts']} production "
+                f"lanes, median {auto_info['pilot_iters_median']:.0f} "
+                f"iters; boundary {auto_info['boundary_s'] * 1e3:.0f} ms = "
+                f"{auto_info['boundary_cost_lane_iters']:.0f} lane-iters at "
+                f"{auto_info['lane_iters_per_s']:.0f} lane-iters/s)"
+            )
     if verbose:
         if rescore_f64:
             best_m, _ = select_modality_winners_f64(stage1, model.Xdense, model.config)

@@ -140,3 +140,77 @@ def test_fit_mmctm_restarts_accepts_auto(mmctm_fixture):
     )
     assert model.ll is not None and np.isfinite(model.ll).all()
     assert model.compact_info["pilot_restarts"] == 4
+
+
+def test_fit_restarts_auto_matches_plain_fit(mmctm_fixture):
+    """The folded pilot (round-4 verdict #4) partitions the SAME key stream
+    into pilot + production executions — on CPU the combined result must be
+    bit-identical to the plain unchunked fit, in the original restart
+    order."""
+    from multimodalmusig_tpu.models.mmctm import MMCTM
+    from multimodalmusig_tpu.parallel.restarts import fit_restarts_auto
+
+    model = MMCTM(mmctm_fixture["K"], mmctm_fixture["alpha"], mmctm_fixture["X"])
+    alpha = jnp.asarray(mmctm_fixture["alpha"], model.config.dtype)
+    key = jax.random.key(7)
+    plain = fit_restarts(
+        key, model.Xdense, model.config, alpha, restarts=12,
+        maxiter=60, tol=1e-3,
+    )
+    seen = []
+    auto, info = fit_restarts_auto(
+        key, model.Xdense, model.config, alpha, restarts=12,
+        maxiter=60, tol=1e-3, pilot_restarts=5,
+        progress=lambda d, t: seen.append((d, t)),
+    )
+    assert info["pilot_restarts"] == 5
+    np.testing.assert_array_equal(np.asarray(plain.ll), np.asarray(auto.ll))
+    np.testing.assert_array_equal(
+        np.asarray(plain.n_iters), np.asarray(auto.n_iters))
+    np.testing.assert_array_equal(
+        np.asarray(plain.state.lam), np.asarray(auto.state.lam))
+    # progress streamed the pilot first, then rose monotonically to R
+    assert seen[0] == (5, 12)
+    assert seen[-1][0] == 12
+    assert all(a[0] <= b[0] for a, b in zip(seen, seen[1:]))
+
+
+def test_fit_restarts_auto_tiny_run_falls_back(mmctm_fixture):
+    """Below the split threshold the folded pilot degenerates to one
+    unchunked fit with an empty schedule."""
+    from multimodalmusig_tpu.models.mmctm import MMCTM
+    from multimodalmusig_tpu.parallel.restarts import fit_restarts_auto
+
+    model = MMCTM(mmctm_fixture["K"], mmctm_fixture["alpha"], mmctm_fixture["X"])
+    alpha = jnp.asarray([0.1, 0.1], model.config.dtype)
+    res, info = fit_restarts_auto(
+        jax.random.key(0), model.Xdense, model.config, alpha, restarts=4,
+        maxiter=20, tol=1e-3,
+    )
+    assert info["schedule"] == ()
+    assert np.asarray(res.ll).shape[0] == 4
+
+
+def test_two_stage_fit_auto_matches_explicit(mmctm_fixture):
+    """two_stage_fit(compact_schedule='auto') must select the same model as
+    the plain two-stage fit (CPU: trajectories bit-identical, so the f64
+    re-scored picks agree)."""
+    from multimodalmusig_tpu.models.mmctm import MMCTM
+    from multimodalmusig_tpu.parallel.restarts import two_stage_fit
+
+    model = MMCTM(mmctm_fixture["K"], mmctm_fixture["alpha"], mmctm_fixture["X"])
+    alpha = jnp.asarray(mmctm_fixture["alpha"], model.config.dtype)
+    key = jax.random.key(11)
+    best_p, s1_p, _, idx_p = two_stage_fit(
+        key, model.Xdense, model.config, alpha, restarts=10, maxiter=40,
+    )
+    info = {}
+    best_a, s1_a, _, idx_a = two_stage_fit(
+        key, model.Xdense, model.config, alpha, restarts=10, maxiter=40,
+        compact_schedule="auto", pilot_restarts=4, auto_info=info,
+    )
+    assert info["pilot_restarts"] == 4
+    assert int(idx_p) == int(idx_a)
+    np.testing.assert_array_equal(np.asarray(s1_p.ll), np.asarray(s1_a.ll))
+    np.testing.assert_array_equal(
+        np.asarray(best_p.ll), np.asarray(best_a.ll))
