@@ -306,7 +306,8 @@ def resolved_budgets(config) -> dict:
 
     Warm-started fit-loop solves need far smaller budgets than the
     cold-start defaults — measured cliffs and rationale at ops/solvers.py
-    LAMBDA_NITER_F32_CAVI / LAMBDA_POLISH_F32_CAVI / NU_FP_F32_CAVI. The
+    LAMBDA_NITER_F32_CAVI / LAMBDA_POLISH_F32_CAVI / NU_FP_F32_CAVI /
+    CG_F32_CAVI. The
     caps apply ONLY to float32 fits (float64 keeps the full budgets — the
     machine-precision trajectory-parity suite needs them), were tuned on
     BRCA and PCAWG, and can be lifted globally with MUSIG_F32_FULL_BUDGETS=1
@@ -315,6 +316,7 @@ def resolved_budgets(config) -> dict:
     resolved (ADVICE r4: the silent f32 shrink must be inspectable)."""
     from ..ops import flags
     from ..ops.solvers import (
+        CG_F32_CAVI,
         LAMBDA_NITER_F32_CAVI,
         LAMBDA_POLISH_F32_CAVI,
         NU_FP_F32_CAVI,
@@ -326,7 +328,7 @@ def resolved_budgets(config) -> dict:
     )
     out = {
         "lambda_n_iter": LAMBDA_NITER_F32_CAVI if f32 else None,
-        "lambda_cg_iter": None,
+        "lambda_cg_iter": CG_F32_CAVI if f32 else None,
         "lambda_polish_iter": LAMBDA_POLISH_F32_CAVI if f32 else None,
         "nu_n_iter": NU_FP_F32_CAVI if f32 else None,
     }

@@ -107,6 +107,22 @@ LAMBDA_NITER_F32_CAVI = 3
 LAMBDA_POLISH_F32_CAVI = 1
 NU_FP_F32_CAVI = 4
 
+# PCG budget for the same warm-started f32 CAVI λ solves. Probed round 5 on
+# the v5e with population-level quality gates (tools/cg_budget_ab.py,
+# BENCH_LOCAL cg_budget_r5): at cg_iter=4 the per-lane final-ll populations
+# are statistically indistinguishable from cg=10 on BRCA R=1000 (means
+# within ~1 sem, slightly better; 1000/1000 finite) and PCAWG R=100 (means
+# within a fraction of a sem), best-of-N values jitter ±1e-4 in BOTH
+# directions (equal-quality local optima, not degradation), the
+# iteration-count tails SHORTEN (BRCA max 442 → 384), and round 3's
+# ill-conditioned stationarity fuzz already held at cg=4 (cond 1e6,
+# tools/pcg_experiment.py). Walls: BRCA R=1000 6.98 → 4.85 s, PCAWG R=100
+# 7.81 → 4.66 s. Intermediate budgets are NOT monotone — cg=8 is SLOWER
+# than cg=10 (looser directions shift trajectories to longer outer paths)
+# — so only the probed 4 is pinned. Cold starts, standalone solves, and
+# f64 keep min(MK, CG_ITER_F32_CAP) / exact MK.
+CG_F32_CAVI = 4
+
 __all__ = [
     "lambda_objective",
     "lambda_grad",

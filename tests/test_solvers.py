@@ -402,7 +402,9 @@ class TestF32CaviNewtonBudget:
         orig_l, orig_n = ctm_base.solve_lambda, sv.maximize_nu
 
         def spy_lambda(*a, **kw):
-            seen["lambda"].add((kw.get("n_iter"), kw.get("polish_iter")))
+            seen["lambda"].add(
+                (kw.get("n_iter"), kw.get("polish_iter"), kw.get("cg_iter"))
+            )
             return orig_l(*a, **kw)
 
         def spy_nu(*a, **kw):
@@ -418,6 +420,7 @@ class TestF32CaviNewtonBudget:
 
     def test_f32_default_resolves_to_cavi_budgets(self, monkeypatch):
         from multimodalmusig_tpu.ops.solvers import (
+            CG_F32_CAVI,
             LAMBDA_NITER_F32_CAVI,
             LAMBDA_POLISH_F32_CAVI,
             NU_FP_F32_CAVI,
@@ -425,7 +428,9 @@ class TestF32CaviNewtonBudget:
 
         seen = self._spy_budgets(monkeypatch)
         dflt = self._fit(jnp.float32)
-        assert seen["lambda"] == {(LAMBDA_NITER_F32_CAVI, LAMBDA_POLISH_F32_CAVI)}
+        assert seen["lambda"] == {
+            (LAMBDA_NITER_F32_CAVI, LAMBDA_POLISH_F32_CAVI, CG_F32_CAVI)
+        }
         assert seen["nu"] == {NU_FP_F32_CAVI}
         jax.clear_caches()
         # quality pin: the warm-start budgets land on the same optimum as
@@ -444,7 +449,7 @@ class TestF32CaviNewtonBudget:
             m.config, lambda_n_iter=9, lambda_polish_iter=2, nu_n_iter=8
         )
         m.fit(maxiter=3)
-        assert seen["lambda"] == {(9, 2)}
+        assert seen["lambda"] == {(9, 2, solvers.CG_F32_CAVI)}
         assert seen["nu"] == {8}
         jax.clear_caches()
 
@@ -452,8 +457,9 @@ class TestF32CaviNewtonBudget:
         seen = self._spy_budgets(monkeypatch)
         self._fit(jnp.float64, maxiter=3)
         # None = the solvers' cold-start defaults (7 Newton, 2 polish, 8 ν
-        # sweeps) — the machine-precision parity suite depends on them
-        assert seen["lambda"] == {(None, None)}
+        # sweeps, exact cg = MK) — the machine-precision parity suite
+        # depends on them
+        assert seen["lambda"] == {(None, None, None)}
         assert seen["nu"] == {None}
         jax.clear_caches()
 

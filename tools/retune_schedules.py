@@ -109,6 +109,7 @@ def main():
                 "LAMBDA_NITER_F32_CAVI": sv.LAMBDA_NITER_F32_CAVI,
                 "LAMBDA_POLISH_F32_CAVI": sv.LAMBDA_POLISH_F32_CAVI,
                 "NU_FP_F32_CAVI": sv.NU_FP_F32_CAVI,
+                "CG_F32_CAVI": sv.CG_F32_CAVI,
                 "CG_ITER_F32_CAP": sv.CG_ITER_F32_CAP,
                 "LAMBDA_POLISH_ITERS": sv.LAMBDA_POLISH_ITERS,
                 "NU_FP_ITERS": sv.NU_FP_ITERS,
