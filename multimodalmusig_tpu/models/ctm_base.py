@@ -349,14 +349,13 @@ def solve_eta(lam, nu, N, sumtheta, mu, invSigma, config):
 
     Kernel policy, decided by measurement (tools/pallas_fit_ab.py, 100
     vmapped BRCA restarts on the v5e chip): the λ solve alone fused
-    (solve_lambda's gate) gives 91 restarts/s vs 77 for pure XLA; fusing
-    ζ/ν in as well (`MUSIG_PALLAS_ESTEP=1` → estep_eta_fused) measures the
-    same 1.09 s wall-clock but costs ~2x the Mosaic compile time (~10 min
-    cold vs ~4), so the default stays λ-only. The fused and XLA paths agree
-    to f32 rounding (mirrored op-for-op; tests/test_pallas_kernels.py).
+    (solve_lambda's gate) wins 1.24x end-to-end over pure XLA; fusing ζ/ν
+    in as well measured neutral-to-losing at every operating point and
+    loses outright at the round-5 cg=4 budgets (0.92x vs XLA), so that
+    kernel was demoted to tools/pallas_experiments/estep_kernel.py. The
+    fused and XLA λ paths agree to f32 rounding (mirrored op-for-op;
+    tests/test_pallas_kernels.py).
     """
-    from ..ops import flags
-
     budgets = resolved_budgets(config)
     kw = {
         solver_name: budgets[field]
@@ -368,15 +367,6 @@ def solve_eta(lam, nu, N, sumtheta, mu, invSigma, config):
         if budgets[field] is not None
     }
     nu_n_iter = budgets["nu_n_iter"]
-    if (
-        flags.PALLAS_ESTEP
-        and _use_fused_lambda(config.force_fused)
-        and config.MK <= 128
-    ):
-        from ..ops.pallas.lambda_kernel import estep_eta_fused
-
-        return estep_eta_fused(lam, nu, N, sumtheta, mu, invSigma, config.K,
-                               nu_n_iter=nu_n_iter, **kw)
     zeta = update_zeta(lam, nu, config)
     Ndivzeta = calculate_Ndivzeta(N, zeta, config)
     nu_kw = {} if nu_n_iter is None else {"n_iter": nu_n_iter}

@@ -480,26 +480,6 @@ def docmodality_loglikelihoods(
 _run_cavi = _run_cavi_base
 
 
-def _use_theta_moments(X, config) -> bool:
-    """Gate for the fused θ-moments kernel in the fit loop — OPT-IN
-    (`MUSIG_PALLAS_THETA=1`), off by default: measured SLOWER end-to-end
-    than XLA's fused einsums at benchmark shapes (1.44 s vs 1.10 s for the
-    100-restart BRCA fit — XLA already avoids materializing θ per restart
-    lane at these sizes, and the per-modality kernel launches under the
-    vmap batching rule cost more than they save). Requires the λ-kernel
-    conditions plus every modality's vocabulary fitting one lane tile
-    (V_m ≤ 128). Env flag resolved once at import (ops/flags.py)."""
-    from ..ops import flags
-    from .ctm_base import _use_fused_lambda
-
-    return (
-        flags.PALLAS_THETA
-        and _use_fused_lambda(config.force_fused)
-        and all(int(x.shape[-1]) <= 128 for x in X)
-        and all(k <= 128 for k in config.K)
-    )
-
-
 def fit_step_fn(
     X: Sequence[jnp.ndarray],
     N: jnp.ndarray,
@@ -512,42 +492,21 @@ def fit_step_fn(
     autoalpha) → per-modality log-likelihoods from softmax(λ) and
     normalized γ.
 
-    With `MUSIG_PALLAS_THETA=1` the θ moments (sumθ and the γ scatter)
-    come from a fused Pallas pass per modality that never materializes θ
-    (ops/pallas/theta_kernel.py — kept opt-in: measured slower than XLA's
-    fused einsums at benchmark shapes, see _use_theta_moments); the default
-    path computes the einsums. Same math either way, f32 rounding apart."""
-    fused_theta = _use_theta_moments(X, config)
+    The θ moments come from the exp-factorized matmul schedule
+    (ctm_base.theta_moments via e_step_moments). A fused Pallas θ-moments
+    kernel was built and measured SLOWER than XLA's fused einsums at
+    benchmark shapes (1.44 s vs 1.10 s for the 100-restart BRCA fit — XLA
+    already avoids materializing θ per restart lane at these sizes, and
+    per-modality kernel launches under the vmap batching rule cost more
+    than they save); it lives on as a measured experiment in
+    tools/pallas_experiments/theta_kernel.py."""
 
     def step(s):
-        if fused_theta:
-            from ..ops.pallas.theta_kernel import theta_moments_fused
-            from .ctm_base import solve_eta as _solve_eta
-
-            logw = smoothed_logw(s)
-            moments = [
-                theta_moments_fused(config.block(s.lam, m), logw[m], X[m])
-                for m in range(config.M)
-            ]
-            sumtheta = jnp.concatenate([mo[0] for mo in moments], axis=1)
-            zeta, nu, lam = _solve_eta(
-                s.lam, s.nu, N, sumtheta, s.mu, s.invSigma, config
-            )
-            s = s._replace(
-                zeta=zeta, lam_pre=s.lam, logw_pre=logw, nu=nu, lam=lam
-            )
-            s = update_mu(s)
-            if update_sigma:
-                s = update_Sigma(s, config)
-            s = update_gamma(
-                s, X, config, scatter=tuple(mo[1] for mo in moments)
-            )
-        else:
-            s, scatters = e_step_moments(s, X, N, config)
-            s = update_mu(s)
-            if update_sigma:
-                s = update_Sigma(s, config)
-            s = update_gamma(s, X, config, scatter=scatters)
+        s, scatters = e_step_moments(s, X, N, config)
+        s = update_mu(s)
+        if update_sigma:
+            s = update_Sigma(s, config)
+        s = update_gamma(s, X, config, scatter=scatters)
         if autoalpha:
             s = update_alpha(s, config)
         ll_i = modality_loglikelihoods(X, props_from(s.lam, config), phi_point(s.gamma))

@@ -10,7 +10,7 @@ process (tools/pallas_fit_ab.py runs its arms in separate subprocesses for
 exactly this reason — see NOTES.md round-2 finding 5).
 
 Tests that need to flip a gate in-process monkeypatch the gate *functions*
-(e.g. models.mmctm._use_theta_moments), not these constants.
+(e.g. ctm_base._use_fused_lambda), not these constants.
 """
 
 import os
@@ -19,13 +19,11 @@ import os
 # single TPU device), "1" (force on), "0" (force the XLA path).
 PALLAS = os.environ.get("MUSIG_PALLAS", "auto")
 
-# MUSIG_PALLAS_ESTEP=1: fuse ζ/ν into the λ kernel (measured neutral on the
-# benchmark but ~2x the Mosaic compile; opt-in — models/ctm_base.py solve_eta).
-PALLAS_ESTEP = os.environ.get("MUSIG_PALLAS_ESTEP", "0") == "1"
-
-# MUSIG_PALLAS_THETA=1: fused θ-moments kernel (measured slower than XLA's
-# fusion at BRCA shapes; opt-in — models/mmctm.py _use_theta_moments).
-PALLAS_THETA = os.environ.get("MUSIG_PALLAS_THETA", "0") == "1"
+# The MUSIG_PALLAS_ESTEP / MUSIG_PALLAS_THETA experiment gates were removed
+# in round 5: both kernels measured slower than the XLA paths at every
+# operating point since the exp-factorized E-step, and the fused E-step
+# loses outright at the cg=4 budgets (0.92x vs XLA). The kernels live on as
+# measured experiments in tools/pallas_experiments/.
 
 # MUSIG_F32_FULL_BUDGETS=1: disable the warm-start inner-solver budget caps
 # that float32 fit loops use by default (LAMBDA_NITER_F32_CAVI=3 etc. —

@@ -1,5 +1,13 @@
 """Pallas kernel correctness vs. the pure-jnp solvers (interpret mode on CPU;
-the same kernels compile natively on TPU)."""
+the same kernels compile natively on TPU).
+
+Also covers the DEMOTED kernel experiments (tools/pallas_experiments/ —
+fused E-step, fused θ-moments): they measured slower than XLA at every
+operating point and left the package in round 5, but their parity pins stay
+live so the archived experiments remain correct starting points."""
+
+import os
+import sys
 
 import jax.numpy as jnp
 import numpy as np
@@ -7,6 +15,12 @@ import pytest
 
 from multimodalmusig_tpu.ops.pallas.lambda_kernel import maximize_lambda_fused
 from multimodalmusig_tpu.ops.solvers import lambda_grad, maximize_lambda
+
+sys.path.insert(
+    0,
+    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                 "tools"),
+)
 
 
 @pytest.fixture
@@ -135,8 +149,9 @@ class TestFusedEstep:
         return zeta, nu2, lam2
 
     def test_matches_xla_sequence(self, rng):
+        from pallas_experiments.estep_kernel import estep_eta_fused
+
         from multimodalmusig_tpu.models.ctm_base import CTMBaseConfig
-        from multimodalmusig_tpu.ops.pallas.lambda_kernel import estep_eta_fused
 
         K, B = (3, 4), 17
         MK = sum(K)
@@ -162,7 +177,7 @@ class TestFusedEstep:
     def test_zero_count_modality(self, rng):
         # a document with zero counts in one modality: N/ζ = 0, the ν/λ
         # solves must stay finite (the 0·exp guard)
-        from multimodalmusig_tpu.ops.pallas.lambda_kernel import estep_eta_fused
+        from pallas_experiments.estep_kernel import estep_eta_fused
 
         K, B = (2, 2), 5
         MK = sum(K)
@@ -193,7 +208,7 @@ class TestThetaMoments:
 
     @pytest.mark.parametrize("D,V,K", [(17, 96, 7), (560, 48, 7), (33, 128, 11), (8, 5, 2)])
     def test_matches_einsums(self, rng, D, V, K):
-        from multimodalmusig_tpu.ops.pallas.theta_kernel import theta_moments_fused
+        from pallas_experiments.theta_kernel import theta_moments_fused
 
         lam = rng.standard_normal((D, K)).astype(np.float32) * 2.0
         logw = (rng.standard_normal((V, K)) - 4.0).astype(np.float32)
@@ -207,7 +222,7 @@ class TestThetaMoments:
         np.testing.assert_allclose(np.asarray(ct), ct_ref, rtol=2e-5, atol=1e-4)
 
     def test_vocab_over_budget_raises(self, rng):
-        from multimodalmusig_tpu.ops.pallas.theta_kernel import theta_moments_fused
+        from pallas_experiments.theta_kernel import theta_moments_fused
 
         with pytest.raises(ValueError):
             theta_moments_fused(
@@ -215,40 +230,37 @@ class TestThetaMoments:
                 interpret=True,
             )
 
-    def test_fit_step_fused_matches_xla(self, mmctm_fixture, monkeypatch, rng):
-        """The fused fit step (MUSIG_PALLAS=1 in interpret-free CPU mode is
-        not possible, so patch the gate + interpret) matches the XLA step."""
-        import multimodalmusig_tpu.models.mmctm as mmod
-        import multimodalmusig_tpu.ops.pallas.theta_kernel as tk
-        from multimodalmusig_tpu.models.ctm_base import counts_per_doc
-        from multimodalmusig_tpu.models.mmctm import MMCTM
+    def test_matches_production_moments(self, mmctm_fixture):
+        """The demoted kernel agrees with the PRODUCTION factorized moments
+        (ctm_base.theta_moments) on the reference fixture — the linkage the
+        old gate-integration test pinned before the gate was removed."""
+        from pallas_experiments.theta_kernel import theta_moments_fused
+
+        from multimodalmusig_tpu.models.ctm_base import theta_moments
+        from multimodalmusig_tpu.models.mmctm import MMCTM, smoothed_logw
 
         model = MMCTM(
             mmctm_fixture["K"], mmctm_fixture["alpha"], mmctm_fixture["X"],
             dtype=jnp.float64,
         )
-        N = counts_per_doc(model.Xdense)
-
-        step_xla = mmod.fit_step_fn(model.Xdense, N, model.config)
-        s_xla, ll_xla = step_xla(model.state)
-
-        orig = tk.theta_moments_fused
-        monkeypatch.setattr(
-            tk, "theta_moments_fused",
-            lambda *a, **k: orig(*a, interpret=True, **{kk: vv for kk, vv in k.items() if kk != "interpret"}),
+        logw = smoothed_logw(model.state)
+        st_prod, ct_prod = theta_moments(
+            model.state.lam, logw, model.Xdense, model.config
         )
-        monkeypatch.setattr(mmod, "_use_theta_moments", lambda X, config: True)
-        step_fused = mmod.fit_step_fn(model.Xdense, N, model.config)
-        s_fused, ll_fused = step_fused(model.state)
-
-        np.testing.assert_allclose(
-            np.asarray(ll_fused), np.asarray(ll_xla), rtol=1e-5
-        )
-        np.testing.assert_allclose(
-            np.asarray(s_fused.lam), np.asarray(s_xla.lam), rtol=1e-4, atol=1e-5
-        )
+        off = 0
         for m in range(model.config.M):
-            np.testing.assert_allclose(
-                np.asarray(s_fused.gamma[m]), np.asarray(s_xla.gamma[m]),
-                rtol=1e-5, atol=1e-4,
+            K = model.config.K[m]
+            st_m, ct_m = theta_moments_fused(
+                model.config.block(model.state.lam, m).astype(jnp.float32),
+                logw[m].astype(jnp.float32),
+                model.Xdense[m].astype(jnp.float32),
+                tile_d=8, interpret=True,
             )
+            np.testing.assert_allclose(
+                np.asarray(st_m), np.asarray(st_prod[:, off:off + K]),
+                rtol=2e-5, atol=1e-5,
+            )
+            np.testing.assert_allclose(
+                np.asarray(ct_m), np.asarray(ct_prod[m]), rtol=2e-5, atol=1e-5
+            )
+            off += K

@@ -16,11 +16,13 @@ import numpy as np
 
 
 def run(arm, restarts):
-    # arm0 = pure XLA, arm1 = fused lambda kernel, arm2 = fused full E-step
-    # (lambda kernel + MUSIG_PALLAS_ESTEP). Env gates are trace-time, so
-    # each arm is its own subprocess.
+    # arm0 = pure XLA, arm1 = fused lambda kernel. (An arm2 measured the
+    # now-demoted fused E-step kernel before round 5 removed its gate: at
+    # the cg=4 operating point it lost outright — 0.48 s vs 0.44 s XLA vs
+    # 0.36 s lambda-only on the R=100 BRCA fit, BENCH_LOCAL pallas_ab_r5 —
+    # and the kernel lives on in tools/pallas_experiments/estep_kernel.py.)
+    # Env gates are trace-time, so each arm is its own subprocess.
     os.environ["MUSIG_PALLAS"] = "0" if arm == "arm0" else "1"
-    os.environ["MUSIG_PALLAS_ESTEP"] = "1" if arm == "arm2" else "0"
     import jax
     import jax.numpy as jnp
 
@@ -50,7 +52,7 @@ def main():
     # Each arm runs in its own subprocess: jax.jit caches compiled executables
     # by trace, and the MUSIG_PALLAS gate is evaluated at trace time — a
     # same-process A/B silently reuses the first arm's executable.
-    if len(sys.argv) > 2 and sys.argv[2] in ("arm0", "arm1", "arm2"):
+    if len(sys.argv) > 2 and sys.argv[2] in ("arm0", "arm1"):
         t, ll, it = run(sys.argv[2], int(sys.argv[1]))
         np.savez(f"/tmp/pallas_ab_{sys.argv[2]}.npz", t=t, ll=ll, it=it)
         return
@@ -58,7 +60,7 @@ def main():
     import subprocess
 
     restarts = int(sys.argv[1]) if len(sys.argv) > 1 else 100
-    arms = ("arm0", "arm1", "arm2") if "--estep" in sys.argv else ("arm0", "arm1")
+    arms = ("arm0", "arm1")
     for arm in arms:
         subprocess.run(
             [sys.executable, os.path.abspath(__file__), str(restarts), arm],
@@ -76,12 +78,6 @@ def main():
     print(f"max |ll diff| (finite lanes): {np.abs(ll0 - ll1)[finite].max():.3e}; "
           f"finite {finite.all(axis=1).sum()}/{restarts} vs "
           f"{np.isfinite(ll1).all(axis=1).sum()}/{restarts}")
-    if "arm2" in arms:
-        a2 = np.load("/tmp/pallas_ab_arm2.npz")
-        t2, ll2, it2 = float(a2["t"]), a2["ll"], a2["it"]
-        print(f"estep : {t2:.2f}s  ({restarts / t2:.1f} restarts/s)  "
-              f"vs xla {t0 / t2:.2f}x, vs lambda-only {t1 / t2:.2f}x; "
-              f"finite {np.isfinite(ll2).all(axis=1).sum()}/{restarts}")
 
 
 if __name__ == "__main__":
