@@ -198,6 +198,20 @@ def suggest_compact_schedule(
     return tuple(out)
 
 
+_BOUNDARY_CACHE: dict = {}
+
+
+def measure_boundary_seconds_cached(reps: int = 5) -> float:
+    """measure_boundary_seconds memoized per default device: the boundary
+    round-trip is a property of the device attachment (tunnel latency +
+    dispatch), not of the data, so auto-compact fits after the first reuse
+    the calibration instead of paying ~reps x 60 ms again."""
+    key = str(jax.devices()[0])
+    if key not in _BOUNDARY_CACHE:
+        _BOUNDARY_CACHE[key] = measure_boundary_seconds(reps)
+    return _BOUNDARY_CACHE[key]
+
+
 def measure_boundary_seconds(reps: int = 5) -> float:
     """Measured wall-clock of one compaction boundary's host round-trip on
     the CURRENT default device: a small control transfer (the (it, done)
@@ -501,6 +515,30 @@ def _fit_scheduled_from_keys(
     return _finalize_carries(final, X, config)
 
 
+_PILOT_EXEC_CACHE: dict = {}
+
+
+def _pilot_executable(keys, X, config, alpha, maxiter, tol, init_method):
+    """AOT-compiled pilot fit, memoized per signature: jax.jit's cache does
+    not serve `.lower().compile()` calls, so without this every
+    auto-compact fit re-lowers the full while_loop program (~0.5 s of
+    host-side MLIR work) even when the executable is byte-identical. The
+    AOT split itself is load-bearing — the pilot must run exactly once and
+    be timed, which a cold jit call (compile + run fused) cannot give."""
+    sig = (
+        tuple((x.shape, str(x.dtype)) for x in X),
+        keys.shape, str(keys.dtype), config,
+        alpha.shape, str(alpha.dtype),
+        maxiter, tol, init_method, str(jax.devices()[0]),
+    )
+    if sig not in _PILOT_EXEC_CACHE:
+        _PILOT_EXEC_CACHE[sig] = fit_restarts_from_keys.lower(
+            keys, X, config, alpha,
+            maxiter=maxiter, tol=tol, init_method=init_method,
+        ).compile()
+    return _PILOT_EXEC_CACHE[sig]
+
+
 @jax.jit
 def _concat_results(a, b):
     """Concatenate two batched MMCTMFitResults along the restart axis as one
@@ -572,10 +610,9 @@ def fit_restarts_auto(
             "note": "too few restarts to split; single unchunked fit",
         }
 
-    compiled = fit_restarts_from_keys.lower(
-        keys[:P], X, config, alpha,
-        maxiter=maxiter, tol=tol, init_method=init_method,
-    ).compile()
+    compiled = _pilot_executable(
+        keys[:P], X, config, alpha, maxiter, tol, init_method
+    )
     # device_get an output, not block_until_ready: see auto_compact_schedule
     t0 = time.perf_counter()
     pilot = compiled(keys[:P], X, alpha)
@@ -584,7 +621,7 @@ def fit_restarts_auto(
     rate = P * float(iters.max()) / max(t_warm, 1e-9)
     if progress is not None:
         progress(P, restarts)
-    t_boundary = measure_boundary_seconds()
+    t_boundary = measure_boundary_seconds_cached()
     B = t_boundary * rate
     schedule = suggest_compact_schedule(
         iters, maxiter=maxiter, boundary_cost_lane_iters=B,
