@@ -381,8 +381,60 @@ def update_mu_vec(lam: jnp.ndarray) -> jnp.ndarray:
     return lam.mean(axis=0)
 
 
+def _spd_inverse_unrolled(S: jnp.ndarray) -> jnp.ndarray:
+    """Cholesky inverse with the factorization and forward substitution
+    fully unrolled over the (static) matrix dimension: L columns by the
+    forward recurrence, X = L⁻¹ by unit forward substitution, invΣ = XᵀX
+    at HIGHEST precision. Works batched (leading dims broadcast).
+
+    Rationale: XLA's batched cho_factor/cho_solve lowers to dynamic-slice
+    While loops that run ~100x off roofline at (R, 14, 14) on TPU (the same
+    pathology that made the λ solver drop Cholesky for PCG — NOTES.md
+    round 1); the M-step pays that inverse once per CAVI iteration per
+    restart lane. Unrolling turns it into ~2·MK sequential steps of small
+    batched vector ops: measured 1.461 → 1.343 ms/CAVI-iter at R=100 on
+    the v5e (tools/sigma_ab.py, round 5). Same algorithm, different
+    schedule: f64 agrees with np.linalg.inv to ~2e-14 relative; f32 agrees
+    with cho_solve to ~1.4e-5 relative at BRCA-like conditioning."""
+    n = S.shape[-1]
+    hi = jax.lax.Precision.HIGHEST
+    cols = []  # cols[j]: (..., n) column j of L, zeroed above the diagonal
+    for j in range(n):
+        r = S[..., :, j]
+        for k in range(j):
+            r = r - cols[k] * cols[k][..., j : j + 1]
+        d = jnp.sqrt(r[..., j])
+        col = r / d[..., None]
+        cols.append(jnp.where(jnp.arange(n) >= j, col, 0.0))
+    L = jnp.stack(cols, axis=-1)
+
+    xcols = []  # column j of X = L⁻¹
+    for j in range(n):
+        xc = []
+        for i in range(n):
+            if i < j:
+                xc.append(jnp.zeros(S.shape[:-2], S.dtype))
+                continue
+            acc = jnp.ones(S.shape[:-2], S.dtype) if i == j else (
+                jnp.zeros(S.shape[:-2], S.dtype)
+            )
+            for k in range(j, i):
+                acc = acc - L[..., i, k] * xc[k]
+            xc.append(acc / L[..., i, i])
+        xcols.append(jnp.stack(xc, axis=-1))
+    X = jnp.stack(xcols, axis=-1)
+    return jnp.matmul(jnp.swapaxes(X, -1, -2), X, precision=hi)
+
+
 def spd_inverse(Sigma: jnp.ndarray) -> jnp.ndarray:
-    """Cholesky inverse of an SPD matrix (vs. LU `inv` at src/MMCTM.jl:211)."""
+    """Cholesky inverse of an SPD matrix (vs. LU `inv` at src/MMCTM.jl:211).
+
+    Mutation-signature-sized matrices (MK ≤ 32) take the unrolled schedule
+    (_spd_inverse_unrolled — measured 8% off the whole CAVI iteration);
+    larger matrices keep cho_factor/cho_solve, whose blocked lowering wins
+    when the unrolled op count would bloat the program."""
+    if Sigma.shape[-1] <= 32:
+        return _spd_inverse_unrolled(Sigma)
     chol = jax.scipy.linalg.cho_factor(Sigma)
     return jax.scipy.linalg.cho_solve(chol, jnp.eye(Sigma.shape[0], dtype=Sigma.dtype))
 
