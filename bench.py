@@ -51,20 +51,20 @@ PROBE_TIMEOUT = 180.0
 PROXY_ITERS = 2
 METRIC = "mmctm_restarts_per_sec_brca_tol1e-5"
 
-# Compaction schedules: what suggest_compact_schedule (margin_z=1.0, the
-# default) picks from the R=100 pilot distribution at the round-5
-# warm-start solver budgets (ops/solvers.py LAMBDA_NITER_F32_CAVI=3,
-# LAMBDA_POLISH_F32_CAVI=1, NU_FP_F32_CAVI=4, CG_F32_CAVI=4) with
-# production_restarts scaling for the R=1000 pin. The margin matters: the
-# exact (z=0) DP cuts at power-of-two survivor edges (511/512 measured),
-# one lane of noise from doubling a phase's padded bucket (+0.45 s
-# measured miss — NOTES.md round 4). Measured on the v5e at cg=4
-# (tools/retune_schedules.py round 5): R=1000 (139, 57, 39) -> 2.75 s =
-# 364 restarts/s (3.31 s at the round-4 cg=10 budgets, 13.6 s unchunked
-# at round 3); R=100 (178,) -> 0.33 s (0.35 s unchunked). The pilot
-# distribution, DP inputs, and solver constants behind these pins are
+# Compaction schedules: the MEASURED-faster of {incumbent, fresh DP
+# candidate} per scale, chosen by tools/retune_schedules.py at the round-5
+# operating point (warm-start solver budgets LAMBDA_NITER_F32_CAVI=3,
+# LAMBDA_POLISH_F32_CAVI=1, NU_FP_F32_CAVI=4, CG_F32_CAVI=4 + the unrolled
+# Σ⁻¹). Measurement, not the DP alone, picks the pin: the DP's
+# linear-in-bucket cost model is accurate down to ~128 active lanes but
+# has no small-bucket floor, so its deep-tail cuts can measure slower
+# (its (141,46,82) candidate measured 2.64 s vs this pin's 2.37 s).
+# Measured on the v5e: R=1000 (139, 57, 39) -> 2.37 s = 423 restarts/s
+# (3.31 s at the round-4 cg=10 budgets, 13.6 s unchunked at round 3);
+# R=100 (178,) -> 0.33 s (0.42 s unchunked). The pilot distribution, DP
+# candidates, arm walls, and solver constants behind these pins are
 # recorded in BASELINE.json bench_schedule_provenance;
-# tests/test_bench_pins.py re-derives the pins from that record.
+# tests/test_bench_pins.py checks the pins against that record.
 R100_SCHEDULE = (178,)
 R1000 = 1000
 R1000_SCHEDULE = (139, 57, 39)

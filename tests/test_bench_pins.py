@@ -50,29 +50,36 @@ def test_solver_constants_match_recording(provenance):
         )
 
 
-def test_pinned_schedules_match_dp_on_recorded_pilot(provenance):
-    """The DP, fed the recorded pilot distribution and boundary cost, must
-    reproduce bench.py's pins exactly (suggest_compact_schedule is
-    deterministic)."""
-    import bench
+def test_dp_candidates_rederive_from_recorded_pilot(provenance):
+    """suggest_compact_schedule is deterministic: fed the recorded pilot
+    distribution and boundary cost it must reproduce the recorded DP
+    candidates (regression coverage for the DP itself)."""
     from multimodalmusig_tpu.parallel.restarts import suggest_compact_schedule
 
     iters = provenance["pilot_iters"]
     B = provenance["boundary_cost_lane_iters"]
-    sched100 = suggest_compact_schedule(
+    assert tuple(provenance["dp_r100_schedule"]) == suggest_compact_schedule(
         iters, maxiter=1000, boundary_cost_lane_iters=B
     )
-    sched1000 = suggest_compact_schedule(
+    assert tuple(provenance["dp_r1000_schedule"]) == suggest_compact_schedule(
         iters, maxiter=1000, boundary_cost_lane_iters=B,
         production_restarts=1000,
     )
-    assert tuple(provenance["r100_schedule"]) == sched100
-    assert tuple(provenance["r1000_schedule"]) == sched1000
-    assert tuple(bench.R100_SCHEDULE) == sched100, (
-        "bench.py R100_SCHEDULE no longer matches the DP on the recorded "
-        "pilot — update the pin or re-record"
+
+
+def test_pinned_schedules_match_recorded_choice(provenance):
+    """bench.py's pins must be exactly what the retune run chose — the
+    measured-faster of {incumbent, DP candidate} per scale (the DP's
+    linear cost model has no small-bucket floor, so its deep-tail cuts can
+    measure slower; the pin follows measurement, and this test catches a
+    pin edited without re-recording)."""
+    import bench
+
+    assert tuple(bench.R100_SCHEDULE) == tuple(provenance["r100_schedule"]), (
+        "bench.py R100_SCHEDULE differs from the recorded choice — re-run "
+        "tools/retune_schedules.py --record on the bench device"
     )
-    assert tuple(bench.R1000_SCHEDULE) == sched1000, (
-        "bench.py R1000_SCHEDULE no longer matches the DP on the recorded "
-        "pilot — update the pin or re-record"
+    assert tuple(bench.R1000_SCHEDULE) == tuple(provenance["r1000_schedule"]), (
+        "bench.py R1000_SCHEDULE differs from the recorded choice — re-run "
+        "tools/retune_schedules.py --record on the bench device"
     )

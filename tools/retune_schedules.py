@@ -79,15 +79,28 @@ def main():
         "sched1000_new": sched1000,
         "arms": {},
     }
-    arms100 = {"old": R100_SCHEDULE, "new": sched100}
-    for name, s in arms100.items():
-        t, _ = timed(100, tuple(s))
-        out["arms"][f"r100_{name}_{tuple(s)}"] = round(t, 3)
+    # The pin is the MEASURED-faster of {incumbent, fresh DP output}: the
+    # DP's linear-in-bucket cost model is accurate down to ~128 active
+    # lanes (verified round 5: both the R=100 unchunked and the scheduled
+    # R=1000 fits run at ~90 lane-iters/ms) but has no small-bucket floor,
+    # so deep-tail cuts it prices as nearly-free can measure slower — the
+    # round-5 re-derive after the Σ⁻¹ change produced (141,46,82), which
+    # measured 2.58 s vs the incumbent (139,57,39)'s 2.39 s. Timing both
+    # arms is cheap here and strictly dominates trusting the model.
+    def choose(R_, incumbent, fresh):
+        t_inc, _ = timed(R_, tuple(incumbent) if incumbent else None)
+        out["arms"][f"r{R_}_incumbent_{tuple(incumbent)}"] = round(t_inc, 3)
+        if tuple(fresh) == tuple(incumbent):
+            return tuple(incumbent), t_inc
+        t_new, _ = timed(R_, tuple(fresh) if fresh else None)
+        out["arms"][f"r{R_}_dp_{tuple(fresh)}"] = round(t_new, 3)
+        return (tuple(fresh), t_new) if t_new < t_inc else (tuple(incumbent), t_inc)
+
+    chosen100, t_chosen100 = choose(100, R100_SCHEDULE, sched100)
+    out["chosen100"] = chosen100
     if not args.skip_r1000:
-        arms1000 = {"old": R1000_SCHEDULE, "new": sched1000}
-        for name, s in arms1000.items():
-            t, _ = timed(1000, tuple(s))
-            out["arms"][f"r1000_{name}_{tuple(s)}"] = round(t, 3)
+        chosen1000, t_chosen1000 = choose(1000, R1000_SCHEDULE, sched1000)
+        out["chosen1000"] = chosen1000
     print(json.dumps(out))
 
     if args.record:
@@ -99,12 +112,21 @@ def main():
         )
         with open(path) as f:
             data = json.load(f)
+        if args.skip_r1000:
+            raise SystemExit("--record needs the R=1000 arms (drop --skip-r1000)")
         data["bench_schedule_provenance"] = {
             "platform": jax.devices()[0].platform,
             "pilot_iters": sorted(int(i) for i in iters),
             "boundary_cost_lane_iters": float(B),
-            "r100_schedule": list(sched100),
-            "r1000_schedule": list(sched1000),
+            # DP candidates re-derivable from pilot_iters + B (regression
+            # coverage for the DP itself)
+            "dp_r100_schedule": list(sched100),
+            "dp_r1000_schedule": list(sched1000),
+            # the pins: measured-faster of {incumbent, DP candidate} —
+            # see the cost-model note above choose()
+            "r100_schedule": list(chosen100),
+            "r1000_schedule": list(chosen1000),
+            "arm_walls_s": dict(out["arms"]),
             "solver_constants": {
                 "LAMBDA_NITER_F32_CAVI": sv.LAMBDA_NITER_F32_CAVI,
                 "LAMBDA_POLISH_F32_CAVI": sv.LAMBDA_POLISH_F32_CAVI,
