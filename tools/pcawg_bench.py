@@ -50,6 +50,9 @@ def main():
     ap.add_argument("--compact-at", type=int, nargs="+", default=None,
                     help="2-phase straggler compaction budgets (see "
                     "fit_restarts compact_schedule)")
+    ap.add_argument("--auto", action="store_true",
+                    help="zero-config folded-pilot auto compaction "
+                    "(fit_restarts_auto)")
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--no-record", action="store_true")
     args = ap.parse_args()
@@ -64,7 +67,10 @@ def main():
     import numpy as np
 
     from multimodalmusig_tpu.models.mmctm import MMCTMConfig
-    from multimodalmusig_tpu.parallel.restarts import fit_restarts
+    from multimodalmusig_tpu.parallel.restarts import (
+        fit_restarts,
+        fit_restarts_auto,
+    )
 
     K = (7, 7, 5)
     V = (96, 48, 24)
@@ -80,6 +86,14 @@ def main():
         chunk_iters=args.chunk_iters or None,
         compact_schedule=tuple(args.compact_at) if args.compact_at else None,
     )
+    if args.auto:
+        def fit_restarts(key, X, config, alpha, restarts, maxiter, tol,
+                         chunk_iters=None, compact_schedule=None):
+            r, info = fit_restarts_auto(
+                key, X, config, alpha, restarts=restarts,
+                maxiter=maxiter, tol=tol)
+            print("auto schedule:", info["schedule"], file=sys.stderr)
+            return r
     platform = jax.devices()[0].platform
     print(f"platform={platform} D={args.docs} R={args.restarts} K={K} V={V}",
           file=sys.stderr)
@@ -111,7 +125,7 @@ def main():
         "iter_percentiles": {
             str(p): int(np.percentile(iters, p)) for p in (50, 75, 90, 95, 100)
         },
-        "compact_at": args.compact_at,
+        "compact_at": "auto" if args.auto else args.compact_at,
         "best_ll": [float(v) for v in ll.max(axis=0)],
         "all_finite": bool(np.isfinite(ll).all()),
     }

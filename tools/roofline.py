@@ -144,7 +144,7 @@ def main():
         f_zeta = 3.0 * D * MK
         # budgets: the f32 fit-path warm-start caps (ctm_base.solve_eta)
         from multimodalmusig_tpu.ops.solvers import (
-            CG_ITER_F32_CAP,
+            CG_F32_CAVI,
             LAMBDA_NITER_F32_CAVI,
             LAMBDA_POLISH_F32_CAVI,
             NU_FP_F32_CAVI,
@@ -157,11 +157,11 @@ def main():
         # path's warm-start budget (ctm_base.solve_eta); each = gradient
         # matvec (2·MK²·D)
         #  + cg_iter CG iterations × (matvec 2·MK²·D + ~8·MK·D vector work)
-        #    (cg_iter = the f32 default, min(MK, CG_ITER_F32_CAP))
+        #    (cg_iter = the f32 fit-loop cap, min(MK, CG_F32_CAVI))
         #  + line search: 2 exps + (3 over + _N_BACKTRACK) candidates
         #    × ~3·MK·D + sqrt chain
         n_newton = LAMBDA_NITER_F32_CAVI + LAMBDA_POLISH_F32_CAVI
-        cg_iter = min(MK, CG_ITER_F32_CAP)
+        cg_iter = min(MK, CG_F32_CAVI)
         f_round = (
             2.0 * MK * MK * D
             + cg_iter * (2.0 * MK * MK * D + 8.0 * MK * D)
