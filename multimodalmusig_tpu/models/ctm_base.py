@@ -429,11 +429,13 @@ def _spd_inverse_unrolled(S: jnp.ndarray) -> jnp.ndarray:
 def spd_inverse(Sigma: jnp.ndarray) -> jnp.ndarray:
     """Cholesky inverse of an SPD matrix (vs. LU `inv` at src/MMCTM.jl:211).
 
-    Mutation-signature-sized matrices (MK ≤ 32) take the unrolled schedule
-    (_spd_inverse_unrolled — measured 8% off the whole CAVI iteration);
-    larger matrices keep cho_factor/cho_solve, whose blocked lowering wins
-    when the unrolled op count would bloat the program."""
-    if Sigma.shape[-1] <= 32:
+    Mutation-signature-sized matrices take the unrolled schedule
+    (_spd_inverse_unrolled — measured 8% off the whole CAVI iteration).
+    The threshold stays near the measured sizes (MK=14 BRCA, 19 PCAWG):
+    the unrolled form traces O(n³/6) ops into the loop body, so a much
+    larger MK would trade an unmeasured compile-time blowup for an
+    unmeasured win — bigger matrices keep cho_factor/cho_solve."""
+    if Sigma.shape[-1] <= 20:
         return _spd_inverse_unrolled(Sigma)
     chol = jax.scipy.linalg.cho_factor(Sigma)
     return jax.scipy.linalg.cho_solve(chol, jnp.eye(Sigma.shape[0], dtype=Sigma.dtype))

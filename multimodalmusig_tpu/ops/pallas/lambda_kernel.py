@@ -39,11 +39,8 @@ from jax.experimental.pallas import tpu as pltpu
 from ..solvers import (
     CG_ITER_F32_CAP,
     _N_BACKTRACK,
-    _N_POLISH as _NU_POLISH,
     _POLISH_MAX_STEP,
     LAMBDA_POLISH_ITERS,
-    NU_FP_ITERS as _NU_FP_ITERS,
-    NU_LOWER_BOUND as _NU_LB,
 )
 
 __all__ = [

@@ -121,7 +121,13 @@ def suggest_compact_schedule(
     if iters.size == 0:
         return ()
     P = iters.size
-    R = int(production_restarts) if production_restarts else P
+    # production_restarts is None means "schedule THE run these counts came
+    # from" (exact-measurement semantics); any explicit value — even one
+    # numerically equal to P — means pilot extrapolation and keeps the
+    # pilot-sampling margin term (fit_restarts_auto routinely lands on
+    # production == pilot size, e.g. restarts=100 -> 50/50).
+    exact_counts = production_restarts is None
+    R = P if exact_counts else int(production_restarts)
     hi = int(iters.max()) if maxiter is None else min(int(iters.max()), maxiter)
     cuts = np.unique(iters)
     cuts = cuts[cuts < hi]
@@ -142,7 +148,7 @@ def suggest_compact_schedule(
         if s_p == 0:
             return 0
         p = s_p / P
-        if R == P:
+        if exact_counts:
             # exact-measurement caller: the iters ARE the production run's
             # own counts, so there is no pilot-sampling term — only the f32
             # phase drift (compacted phases are different executables whose
@@ -277,13 +283,13 @@ def auto_compact_schedule(
     # AOT-split compile from execution so the pilot runs ONCE: lowering +
     # compiling first, then timing the single execution that also yields
     # n_iters (a naive "cold run for iters, warm re-run for the rate" pays
-    # the whole pilot fit twice). fit_restarts_from_keys is itself the
-    # module-level jit, so a second auto-compact in the same process hits
-    # its trace cache.
-    compiled = fit_restarts_from_keys.lower(
-        keys, X, config, alpha,
-        maxiter=maxiter, tol=tol, init_method=init_method,
-    ).compile()
+    # the whole pilot fit twice). _pilot_executable memoizes the compiled
+    # object per signature — jax.jit's cache does not serve
+    # .lower().compile() calls, so a bare AOT compile here would re-lower
+    # the full while_loop program (~0.5 s host-side) on every call.
+    compiled = _pilot_executable(
+        keys, X, config, alpha, maxiter, tol, init_method
+    )
     # Sync by fetching an output leaf, NOT jax.block_until_ready: on the
     # remote-attached (axon) backend block_until_ready returned immediately
     # on AOT-compiled outputs, timing only the enqueue — the measured
@@ -860,10 +866,18 @@ def two_stage_fit(
     rescore_f64: bool = True,
     pilot_restarts: int = 64,
     auto_info: Optional[dict] = None,
+    selection_info: Optional[dict] = None,
 ):
     """The CLI's full two-stage protocol (run_mmctm.jl:163-180). Returns
     (best stage-2 result (unbatched), stage-1 batched result, stage-2
     batched result, best index).
+
+    `selection_info`, when a dict is passed, receives the selection's own
+    working data — {"stage1_winners": (M,) lane indices,
+    "stage1_winner_ll": (M,) the winners' per-modality scores (f64
+    re-scores when rescore_f64, else the in-fit f32 metric)} — so verbose
+    callers can report the numbers selection actually read without
+    re-running the multi-second f64 re-scoring pass.
 
     `compact_schedule="auto"` runs stage 1 through the folded pilot
     (fit_restarts_auto: the first `pilot_restarts` production lanes double
@@ -923,9 +937,22 @@ def two_stage_fit(
         # EMPTY schedule (the DP decided no boundary pays) looks like a hang
         progress(1, restarts, restarts)
     if rescore_f64:
-        best_m, _ = select_modality_winners_f64(stage1, X, config)  # (M,)
+        best_m, sel = select_modality_winners_f64(stage1, X, config)  # (M,)
+        if selection_info is not None:
+            cand = list(sel["rescored_lanes"])
+            selection_info["stage1_winners"] = np.asarray(best_m)
+            selection_info["stage1_winner_ll"] = np.asarray(
+                [sel["ll_f64"][cand.index(best_m[m]), m]
+                 for m in range(config.M)]
+            )
     else:
         best_m = pick_optimal_modality_restarts(stage1.ll)  # (M,)
+        if selection_info is not None:
+            ll32 = np.asarray(jax.device_get(stage1.ll))
+            selection_info["stage1_winners"] = np.asarray(best_m)
+            selection_info["stage1_winner_ll"] = np.asarray(
+                [ll32[int(best_m[m]), m] for m in range(config.M)]
+            )
 
     # Graft the per-modality-best topic-word posteriors (run_mmctm.jl:126-130)
     grafted_gamma = tuple(
@@ -1017,6 +1044,7 @@ def fit_mmctm_restarts(
     model = MMCTM(*args, dtype=dtype)
     alpha_arr = jnp.asarray([float(a) for a in alpha], model.config.dtype)
     auto_info: dict = {}
+    selection_info: dict = {}
     best, stage1, stage2, best_idx = two_stage_fit(
         jax.random.key(seed),
         model.Xdense,
@@ -1033,6 +1061,7 @@ def fit_mmctm_restarts(
         rescore_f64=rescore_f64,
         pilot_restarts=pilot_restarts,
         auto_info=auto_info,
+        selection_info=selection_info if verbose else None,
     )
     if auto_info:
         model.compact_info = auto_info
@@ -1046,13 +1075,13 @@ def fit_mmctm_restarts(
                 f"{auto_info['lane_iters_per_s']:.0f} lane-iters/s)"
             )
     if verbose:
-        if rescore_f64:
-            best_m, _ = select_modality_winners_f64(stage1, model.Xdense, model.config)
-        else:
-            best_m = np.asarray(pick_optimal_modality_restarts(stage1.ll))
+        # the numbers selection actually read (f64 re-scores by default) —
+        # recomputing them here would repeat a multi-second host pass, and
+        # the in-fit f32 metric is exactly the executable-drifting value
+        # the selection was changed to never read
         print("Modality optimal model log-likelihoods:")
         for m in range(model.config.M):
-            print(f"{m + 1}: {np.asarray(stage1.ll)[best_m[m]]}")
+            print(f"{m + 1}: {selection_info['stage1_winner_ll'][m]}")
         print("Seeded model log-likelihoods:")
         print(np.asarray(best.ll))
     model.state = best.state

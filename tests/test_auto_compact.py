@@ -103,6 +103,51 @@ def test_dp_production_scaling_compacts_small_pilots_more():
     assert len(scaled) >= 1
 
 
+def test_dp_margin_semantics_follow_none_not_numeric_equality():
+    """production_restarts=None means 'these ARE the run's own counts'
+    (drift-only margin); an EXPLICIT production count keeps the
+    pilot-sampling margin term even when it numerically equals the pilot
+    size — fit_restarts_auto routinely lands on production == pilot
+    (e.g. restarts=100 -> 50/50), and silently dropping the sampling term
+    there re-exposes the bucket-edge misses the margin exists to prevent
+    (round-5 review finding)."""
+    import numpy as np
+
+    from multimodalmusig_tpu.parallel import restarts as rmod
+
+    iters = np.asarray(sorted(ITERS[:64]))
+    P = iters.size
+    margins = {}
+    orig = np.ceil
+
+    for label, kwargs in (
+        ("exact", {}),
+        ("extrapolated", {"production_restarts": P}),
+    ):
+        seen = []
+
+        def spy_ceil(x, _seen=seen):
+            _seen.append(float(x))
+            return orig(x)
+
+        np.ceil = spy_ceil
+        try:
+            rmod.suggest_compact_schedule(
+                iters, boundary_cost_lane_iters=500.0, **kwargs
+            )
+        finally:
+            np.ceil = orig
+        margins[label] = seen
+    # same R*p everywhere, so a strictly larger sampling margin shows as a
+    # strictly larger predicted-survivor argument at every interior cut
+    exact = np.asarray(margins["exact"])
+    extrap = np.asarray(margins["extrapolated"])
+    assert exact.shape == extrap.shape
+    interior = (exact > 0) & (exact < P)
+    assert interior.any()
+    assert (extrap[interior] > exact[interior]).all()
+
+
 def test_measure_boundary_seconds_returns_positive():
     t = measure_boundary_seconds(reps=2)
     assert 0 < t < 60

@@ -87,6 +87,10 @@ def main():
         compact_schedule=tuple(args.compact_at) if args.compact_at else None,
     )
     if args.auto:
+        if args.compact_at or args.chunk_iters:
+            raise SystemExit(
+                "--auto is mutually exclusive with --compact-at/--chunk-iters")
+
         def fit_restarts(key, X, config, alpha, restarts, maxiter, tol,
                          chunk_iters=None, compact_schedule=None):
             r, info = fit_restarts_auto(

@@ -25,6 +25,8 @@ def main():
         "against (ADVICE r4 #4)",
     )
     args = ap.parse_args()
+    if args.record and args.skip_r1000:
+        ap.error("--record needs the R=1000 arms (drop --skip-r1000)")
 
     import jax
     import jax.numpy as jnp
@@ -85,7 +87,8 @@ def main():
     # R=1000 fits run at ~90 lane-iters/ms) but has no small-bucket floor,
     # so deep-tail cuts it prices as nearly-free can measure slower — the
     # round-5 re-derive after the Σ⁻¹ change produced (141,46,82), which
-    # measured 2.58 s vs the incumbent (139,57,39)'s 2.39 s. Timing both
+    # measured 2.64 s vs the incumbent (139,57,39)'s 2.37 s (the recorded
+    # arm_walls_s in BASELINE.json bench_schedule_provenance). Timing both
     # arms is cheap here and strictly dominates trusting the model.
     def choose(R_, incumbent, fresh):
         t_inc, _ = timed(R_, tuple(incumbent) if incumbent else None)
@@ -112,8 +115,6 @@ def main():
         )
         with open(path) as f:
             data = json.load(f)
-        if args.skip_r1000:
-            raise SystemExit("--record needs the R=1000 arms (drop --skip-r1000)")
         data["bench_schedule_provenance"] = {
             "platform": jax.devices()[0].platform,
             "pilot_iters": sorted(int(i) for i in iters),
