@@ -584,8 +584,9 @@ def fit_restarts_auto(
 
     The per-lane trajectories are the same math as fit_restarts(key, ...):
     the identical split keys, partitioned into two executions. On CPU the
-    results are bit-identical to the unchunked fit; on TPU the two halves
-    are different executables with the usual f32 rounding drift
+    results match the unchunked fit to the last ulp (vectorized reductions
+    can differ in the final bit between batch shapes); on TPU the two
+    halves are different executables with the usual f32 rounding drift
     (NOTES.md round 3) — selection reads f64 re-scores either way.
 
     Returns (batched MMCTMFitResult over all `restarts` lanes in key order,
