@@ -547,12 +547,95 @@ def _pilot_executable(keys, X, config, alpha, maxiter, tol, init_method):
 
 @jax.jit
 def _concat_results(a, b):
-    """Concatenate two batched MMCTMFitResults along the restart axis as one
+    """Concatenate two batched FitResults along the restart axis as one
     device execution (the folded auto-compact fit's pilot + production
-    halves)."""
+    halves; works on any family's result pytree)."""
     return jax.tree_util.tree_map(
         lambda x, y: jnp.concatenate([x, y], axis=0), a, b
     )
+
+
+def _derive_auto_schedule(iters, t_warm, production_restarts, maxiter,
+                          max_boundaries):
+    """Schedule derivation shared by the folded-pilot auto fits (MMCTM's
+    fit_restarts_auto and the family fitters' compact_schedule="auto"):
+    lane-iters/s from the timed pilot execution, one cached boundary-cost
+    calibration, then the margin-aware exact DP. Returns (schedule, info)."""
+    P = int(iters.size)
+    rate = P * float(iters.max()) / max(t_warm, 1e-9)
+    t_boundary = measure_boundary_seconds_cached()
+    B = t_boundary * rate
+    schedule = suggest_compact_schedule(
+        iters, maxiter=maxiter, boundary_cost_lane_iters=B,
+        max_boundaries=max_boundaries,
+        production_restarts=production_restarts,
+    )
+    info = {
+        "pilot_restarts": P,
+        "pilot_iters_max": int(iters.max()),
+        "pilot_iters_median": float(np.median(iters)),
+        "pilot_warm_s": t_warm,
+        "lane_iters_per_s": rate,
+        "boundary_s": t_boundary,
+        "boundary_cost_lane_iters": B,
+        "schedule": tuple(schedule),
+    }
+    return tuple(schedule), info
+
+
+def _family_restarts_auto(keys, run_unchunked, run_scheduled, restarts,
+                          maxiter, pilot_restarts=64, max_boundaries=3):
+    """Folded-pilot zero-config compaction for the best-of-N family fitters
+    (LDA/ILDA/IMMCTM) — the family analogue of fit_restarts_auto: the first
+    P = min(pilot_restarts, restarts//2) production lanes run unchunked as
+    ONE timed AOT execution and double as the schedule pilot; the DP then
+    schedules the remaining lanes' compaction from their measured iteration
+    distribution plus one cached boundary calibration. Nothing is fit
+    twice, and the lanes keep their original key order.
+
+    `run_unchunked` is the family's jitted keys -> batched-FitResult
+    closure; `run_scheduled(keys, schedule)` its compacted driver. The AOT
+    lower/compile here is paid per call (~0.3 s host work): unlike the
+    MMCTM path (whose module-level jit takes X as an argument), the family
+    closures bake the count matrix in as a jaxpr constant, so an executable
+    cache keyed on shapes alone would silently serve one dataset's
+    executable to another.
+
+    Returns (batched FitResult over all lanes in key order, info dict with
+    the derivation measurements)."""
+    import time
+
+    restarts = int(restarts)
+    P = max(2, min(int(pilot_restarts), restarts // 2))
+    if restarts < 8:
+        result = run_unchunked(keys)
+        iters = np.asarray(jax.device_get(result.n_iters))
+        return result, {
+            "pilot_restarts": restarts,
+            "pilot_iters_max": int(iters.max()),
+            "pilot_iters_median": float(np.median(iters)),
+            "pilot_warm_s": 0.0,
+            "lane_iters_per_s": 0.0,
+            "boundary_s": 0.0,
+            "boundary_cost_lane_iters": 0.0,
+            "schedule": (),
+            "note": "too few restarts to split; single unchunked fit",
+        }
+    compiled = run_unchunked.lower(keys[:P]).compile()
+    # device_get an output leaf, not block_until_ready: see
+    # auto_compact_schedule for why the latter lies on the axon backend
+    t0 = time.perf_counter()
+    pilot = compiled(keys[:P])
+    iters = np.asarray(jax.device_get(pilot.n_iters))
+    t_warm = time.perf_counter() - t0
+    schedule, info = _derive_auto_schedule(
+        iters, t_warm, restarts - P, maxiter, max_boundaries
+    )
+    if schedule:
+        rest = run_scheduled(keys[P:], schedule)
+    else:
+        rest = run_unchunked(keys[P:])
+    return _concat_results(pilot, rest), info
 
 
 def fit_restarts_auto(
@@ -625,25 +708,11 @@ def fit_restarts_auto(
     pilot = compiled(keys[:P], X, alpha)
     iters = np.asarray(jax.device_get(pilot.n_iters))
     t_warm = time.perf_counter() - t0
-    rate = P * float(iters.max()) / max(t_warm, 1e-9)
     if progress is not None:
         progress(P, restarts)
-    t_boundary = measure_boundary_seconds_cached()
-    B = t_boundary * rate
-    schedule = suggest_compact_schedule(
-        iters, maxiter=maxiter, boundary_cost_lane_iters=B,
-        max_boundaries=max_boundaries, production_restarts=restarts - P,
+    schedule, info = _derive_auto_schedule(
+        iters, t_warm, restarts - P, maxiter, max_boundaries
     )
-    info = {
-        "pilot_restarts": P,
-        "pilot_iters_max": int(iters.max()),
-        "pilot_iters_median": float(np.median(iters)),
-        "pilot_warm_s": t_warm,
-        "lane_iters_per_s": rate,
-        "boundary_s": t_boundary,
-        "boundary_cost_lane_iters": B,
-        "schedule": tuple(schedule),
-    }
     sub_progress = (
         None if progress is None
         else lambda d, t: progress(P + d, restarts)
@@ -1161,13 +1230,17 @@ def fit_lda_restarts(
     k, alpha, eta, X, V=None, restarts: int = 100, maxiter: int = 1000,
     tol: float = 1e-4, seed: int = 147959412, dtype=None,
     chunk_iters: Optional[int] = None,
-    compact_schedule: Optional[Sequence[int]] = None,
+    compact_schedule=None,
     rescore_f64: bool = True,
+    pilot_restarts: int = 64,
 ):
     """Best-of-N LDA fitting: vmapped restarts, argmax final log-likelihood
     (exact f64 host re-scores of the shortlisted final states by default —
     parallel/rescore.py). `chunk_iters` enables the host-chunked compacted
-    driver; `compact_schedule` the 2-phase straggler fit (see fit_restarts)."""
+    driver; `compact_schedule` the 2-phase straggler fit (see fit_restarts),
+    or "auto" for the zero-config folded-pilot derivation (the first
+    `pilot_restarts` lanes double as the schedule pilot —
+    _family_restarts_auto); the derivation lands on `model.compact_info`."""
     from ..models import lda as lda_mod
     from ..models.lda import LDA
 
@@ -1176,18 +1249,15 @@ def fit_lda_restarts(
     cfg, Xd = model.config, model.Xdense
     keys = jax.random.split(jax.random.key(seed), restarts)
 
-    if chunk_iters is None and not compact_schedule:
+    @jax.jit
+    def run(keys):
+        def one(key):
+            return lda_mod.fit(lda_mod.init(key, cfg), Xd, cfg, maxiter=maxiter, tol=tol)
 
-        @partial(jax.jit, static_argnames=())
-        def run(keys):
-            def one(key):
-                return lda_mod.fit(lda_mod.init(key, cfg), Xd, cfg, maxiter=maxiter, tol=tol)
+        return jax.vmap(one)(keys)
 
-            return jax.vmap(one)(keys)
-
-        result = run(keys)
-    else:
-        result = _scalar_metric_chunked(
+    def scheduled(ks, sched):
+        return _scalar_metric_chunked(
             lambda key: lda_mod.init(key, cfg),
             lambda s: lda_mod._fit_step(s, Xd, cfg),
             lambda c: lda_mod.LDAFitResult(
@@ -1195,10 +1265,20 @@ def fit_lda_restarts(
                 converged=carry_converged(c[1], c[2], c[3]),
                 elbo=lda_mod.calculate_elbo(c[0], Xd, cfg), ll=c[1][c[2] - 1],
             ),
-            keys, maxiter, tol,
-            _resolve_schedule(chunk_iters, compact_schedule),
-            restarts, cfg.dtype,
+            ks, maxiter, tol, sched, int(ks.shape[0]), cfg.dtype,
         )
+
+    if compact_schedule == "auto":
+        if chunk_iters is not None:
+            raise ValueError("chunk_iters and compact_schedule are mutually exclusive")
+        result, model.compact_info = _family_restarts_auto(
+            keys, run, scheduled, restarts, maxiter,
+            pilot_restarts=pilot_restarts,
+        )
+    elif chunk_iters is None and not compact_schedule:
+        result = run(keys)
+    else:
+        result = scheduled(keys, _resolve_schedule(chunk_iters, compact_schedule))
 
     def _rescore(cand):
         from .rescore import rescore_lda_f64
@@ -1221,13 +1301,16 @@ def fit_ilda_restarts(
     k, alpha, eta, features, X, restarts: int = 100, maxiter: int = 1000,
     tol: float = 1e-4, seed: int = 147959412, dtype=None,
     chunk_iters: Optional[int] = None,
-    compact_schedule: Optional[Sequence[int]] = None,
+    compact_schedule=None,
     rescore_f64: bool = True,
+    pilot_restarts: int = 64,
 ):
     """Best-of-N ILDA fitting: vmapped restarts, argmax final log-likelihood
     (exact f64 host re-scores of the shortlisted final states by default —
     parallel/rescore.py). `chunk_iters` enables the host-chunked compacted
-    driver; `compact_schedule` the 2-phase straggler fit (see fit_restarts)."""
+    driver; `compact_schedule` the 2-phase straggler fit (see fit_restarts),
+    or "auto" for the zero-config folded-pilot derivation
+    (_family_restarts_auto; derivation lands on `model.compact_info`)."""
     from ..models import ilda as ilda_mod
     from ..models.ilda import ILDA
 
@@ -1235,20 +1318,16 @@ def fit_ilda_restarts(
     cfg, Xd, F = model.config, model.Xdense, model.F
     keys = jax.random.split(jax.random.key(seed), restarts)
 
-    if chunk_iters is None and not compact_schedule:
+    @jax.jit
+    def run(keys):
+        def one(key):
+            return ilda_mod.fit(
+                ilda_mod.init(key, cfg), Xd, F, cfg, maxiter=maxiter, tol=tol
+            )
 
-        @jax.jit
-        def run(keys):
-            def one(key):
-                return ilda_mod.fit(
-                    ilda_mod.init(key, cfg), Xd, F, cfg, maxiter=maxiter, tol=tol
-                )
+        return jax.vmap(one)(keys)
 
-            return jax.vmap(one)(keys)
-
-        result = run(keys)
-    else:
-
+    def scheduled(ks, sched):
         def step(s):
             s = ilda_mod.update_gamma(s, Xd, cfg)
             s = ilda_mod.update_phi(s, F)
@@ -1258,7 +1337,7 @@ def fit_ilda_restarts(
             )
             return s, ll_i
 
-        result = _scalar_metric_chunked(
+        return _scalar_metric_chunked(
             lambda key: ilda_mod.init(key, cfg),
             step,
             lambda c: ilda_mod.ILDAFitResult(
@@ -1266,10 +1345,20 @@ def fit_ilda_restarts(
                 converged=carry_converged(c[1], c[2], c[3]),
                 elbo=ilda_mod.calculate_elbo(c[0], Xd, F, cfg), ll=c[1][c[2] - 1],
             ),
-            keys, maxiter, tol,
-            _resolve_schedule(chunk_iters, compact_schedule),
-            restarts, cfg.dtype,
+            ks, maxiter, tol, sched, int(ks.shape[0]), cfg.dtype,
         )
+
+    if compact_schedule == "auto":
+        if chunk_iters is not None:
+            raise ValueError("chunk_iters and compact_schedule are mutually exclusive")
+        result, model.compact_info = _family_restarts_auto(
+            keys, run, scheduled, restarts, maxiter,
+            pilot_restarts=pilot_restarts,
+        )
+    elif chunk_iters is None and not compact_schedule:
+        result = run(keys)
+    else:
+        result = scheduled(keys, _resolve_schedule(chunk_iters, compact_schedule))
 
     def _rescore(cand):
         from .rescore import rescore_ilda_f64
@@ -1292,8 +1381,9 @@ def fit_immctm_restarts(
     k, alpha, features, X, restarts: int = 100, maxiter: int = 1000,
     tol: float = 1e-4, seed: int = 147959412, dtype=None,
     chunk_iters: Optional[int] = None,
-    compact_schedule: Optional[Sequence[int]] = None,
+    compact_schedule=None,
     rescore_f64: bool = True,
+    pilot_restarts: int = 64,
 ):
     """Best-of-N IMMCTM fitting: vmapped restarts; selection by min mean
     dense-rank of |ll| across modalities (the MMCTM CLI's criterion,
@@ -1302,7 +1392,8 @@ def fit_immctm_restarts(
     population ranked, so there is no shortlist here — parallel/rescore.py).
     `chunk_iters` enables the same host-chunked compacted driver as the
     MMCTM path; `compact_schedule` the 2-phase straggler fit (see
-    fit_restarts)."""
+    fit_restarts), or "auto" for the zero-config folded-pilot derivation
+    (_family_restarts_auto; derivation lands on `model.compact_info`)."""
     from ..models import immctm as immctm_mod
     from ..models.ctm_base import make_cavi_carry as _mk
     from ..models.immctm import IMMCTM
@@ -1316,22 +1407,19 @@ def fit_immctm_restarts(
         state = immctm_mod.init(key, cfg, [np.zeros(i) for i in cfg.I])
         return state._replace(alpha=alpha_full)
 
-    if chunk_iters is None and not compact_schedule:
+    @jax.jit
+    def run(keys):
+        def one(key):
+            return immctm_mod.fit(init_one(key), Xd, F, cfg, maxiter=maxiter, tol=tol)
 
-        @jax.jit
-        def run(keys):
-            def one(key):
-                return immctm_mod.fit(init_one(key), Xd, F, cfg, maxiter=maxiter, tol=tol)
+        return jax.vmap(one)(keys)
 
-            return jax.vmap(one)(keys)
-
-        result = run(keys)
-    else:
+    def scheduled(ks, sched):
         N = counts_per_doc(Xd)
 
         @jax.jit
-        def init_c(keys):
-            return jax.vmap(lambda kk: _mk(init_one(kk), cfg, maxiter))(keys)
+        def init_c(kk):
+            return jax.vmap(lambda k2: _mk(init_one(k2), cfg, maxiter))(kk)
 
         step = immctm_mod.fit_step_fn(Xd, N, F, cfg)
 
@@ -1355,10 +1443,21 @@ def fit_immctm_restarts(
             )(carries)
 
         final = _chunked_drive(
-            init_c(keys), advance, maxiter, restarts,
-            schedule=_resolve_schedule(chunk_iters, compact_schedule),
+            init_c(ks), advance, maxiter, int(ks.shape[0]), schedule=sched
         )
-        result = finalize(final)
+        return finalize(final)
+
+    if compact_schedule == "auto":
+        if chunk_iters is not None:
+            raise ValueError("chunk_iters and compact_schedule are mutually exclusive")
+        result, model.compact_info = _family_restarts_auto(
+            keys, run, scheduled, restarts, maxiter,
+            pilot_restarts=pilot_restarts,
+        )
+    elif chunk_iters is None and not compact_schedule:
+        result = run(keys)
+    else:
+        result = scheduled(keys, _resolve_schedule(chunk_iters, compact_schedule))
 
     if rescore_f64:
         from .rescore import pick_optimal_restart_np, rescore_immctm_f64

@@ -132,3 +132,57 @@ def test_family_compact_schedule_matches_single_shot(lda_fixture, mmctm_fixture)
                           restarts=3, maxiter=20, seed=12,
                           compact_schedule=(7,))
     np.testing.assert_allclose(a.ll, b.ll, rtol=1e-12)
+
+
+def test_family_auto_compact_matches_plain(lda_fixture, mmctm_fixture):
+    """compact_schedule="auto" (the folded-pilot zero-config compaction,
+    family analogue of fit_restarts_auto) must select the same model as the
+    plain unchunked best-of-N — on CPU the partitioned executions match the
+    single dispatch to the last ulp — and record its derivation in
+    model.compact_info."""
+    kw = dict(restarts=10, maxiter=25, tol=1e-6, seed=11)
+    a = fit_lda_restarts(
+        lda_fixture["K"], lda_fixture["alpha"], lda_fixture["eta"],
+        lda_fixture["X"], **kw,
+    )
+    b = fit_lda_restarts(
+        lda_fixture["K"], lda_fixture["alpha"], lda_fixture["eta"],
+        lda_fixture["X"], compact_schedule="auto", pilot_restarts=4, **kw,
+    )
+    np.testing.assert_allclose(a.ll, b.ll, rtol=1e-12)
+    np.testing.assert_allclose(a.lam, b.lam, rtol=1e-10)
+    assert b.compact_info["pilot_restarts"] == 4
+    assert "schedule" in b.compact_info
+
+    kw = dict(restarts=8, maxiter=15, seed=4)
+    a = fit_immctm_restarts(
+        mmctm_fixture["K"], mmctm_fixture["alpha"], [FEATURES, FEATURES],
+        mmctm_fixture["X"], **kw,
+    )
+    b = fit_immctm_restarts(
+        mmctm_fixture["K"], mmctm_fixture["alpha"], [FEATURES, FEATURES],
+        mmctm_fixture["X"], compact_schedule="auto", pilot_restarts=4, **kw,
+    )
+    np.testing.assert_allclose(a.ll, b.ll, rtol=1e-10)
+    assert b.compact_info["pilot_restarts"] == 4
+
+
+def test_family_auto_compact_small_r_single_fit(lda_fixture):
+    """restarts < 8 under "auto" skips the pilot split entirely (a single
+    unchunked fit) and says so in compact_info."""
+    kw = dict(restarts=3, maxiter=20, seed=12)
+    a = fit_ilda_restarts(2, 0.1, 0.1, FEATURES, lda_fixture["X"], **kw)
+    b = fit_ilda_restarts(2, 0.1, 0.1, FEATURES, lda_fixture["X"],
+                          compact_schedule="auto", **kw)
+    np.testing.assert_allclose(a.ll, b.ll, rtol=1e-12)
+    assert b.compact_info["schedule"] == ()
+    assert "single unchunked fit" in b.compact_info["note"]
+
+
+def test_family_auto_rejects_chunk_iters(lda_fixture):
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        fit_lda_restarts(
+            lda_fixture["K"], lda_fixture["alpha"], lda_fixture["eta"],
+            lda_fixture["X"], restarts=8, maxiter=10,
+            compact_schedule="auto", chunk_iters=5,
+        )

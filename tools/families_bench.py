@@ -33,6 +33,10 @@ def main():
     ap.add_argument("--restarts", type=int, default=100)
     ap.add_argument("--maxiter", type=int, default=1000)
     ap.add_argument("--tol", type=float, default=1e-5)
+    ap.add_argument("--auto", action="store_true",
+                    help="run every family with compact_schedule='auto' "
+                         "(folded-pilot zero-config compaction); records "
+                         "families_bench_r5_auto")
     ap.add_argument("--no-record", action="store_true")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
@@ -74,6 +78,8 @@ def main():
 
     R = args.restarts
     kw = dict(restarts=R, maxiter=args.maxiter, tol=args.tol)
+    if args.auto:
+        kw["compact_schedule"] = "auto"
     arms = {
         "lda": lambda: fit_lda_restarts(7, 0.1, 0.1, X_lda, **kw),
         "ilda": lambda: fit_ilda_restarts(7, 0.1, 0.1, feats, X_lda, **kw),
@@ -81,10 +87,11 @@ def main():
             [7, 7], [0.1, 0.1], [feats, feats_sv], X_mm, **kw),
         # two-stage MMCTM incl. stage-2 refit + both f64-rescored selections
         "mmctm_two_stage": lambda: fit_mmctm_restarts(
-            [7, 7], [0.1, 0.1], X_mm, restarts=R, maxiter=args.maxiter),
+            [7, 7], [0.1, 0.1], X_mm, restarts=R, maxiter=args.maxiter,
+            compact_schedule="auto" if args.auto else None),
     }
     out = {"platform": jax.devices()[0].platform, "restarts": R,
-           "tol": args.tol}
+           "tol": args.tol, "auto": bool(args.auto)}
     for name, fn in arms.items():
         fn()  # compile + warm
         t0 = time.perf_counter()
@@ -97,6 +104,10 @@ def main():
             "selected_ll": [float(v) for v in ll],
             "finite": bool(np.isfinite(ll).all()),
         }
+        info = getattr(model, "compact_info", None)
+        if args.auto and info:
+            out[name]["derived_schedule"] = [int(s) for s in info["schedule"]]
+            out[name]["pilot_restarts"] = int(info["pilot_restarts"])
         print(name, json.dumps(out[name]))
 
     print(json.dumps(out))
@@ -106,7 +117,7 @@ def main():
             "BENCH_LOCAL.json")
         with open(path) as f:
             data = json.load(f)
-        data["families_bench_r5"] = out
+        data["families_bench_r5_auto" if args.auto else "families_bench_r5"] = out
         with open(path, "w") as f:
             json.dump(data, f, indent=1)
 
