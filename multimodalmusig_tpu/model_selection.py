@@ -38,10 +38,15 @@ def heldout_ll_curve(
     heldout_maxiter: int = 100,
     seed: int = 0,
     verbose: bool = False,
+    compact_schedule=None,
 ) -> List[Tuple[List[int], List[float]]]:
     """For each candidate K vector, fit MMCTM on X_train (multi-restart when
     restarts > 1) and evaluate per-modality held-out log-likelihood on
-    X_test via fit_heldout. Returns [(K, heldout_ll per modality), ...]."""
+    X_test via fit_heldout. Returns [(K, heldout_ll per modality), ...].
+
+    `compact_schedule` is forwarded to fit_mmctm_restarts — pass "auto" for
+    the zero-config folded-pilot straggler compaction (worthwhile when the
+    K sweep runs many restarts per candidate)."""
     from .models.mmctm import MMCTM, fit_heldout
     from .parallel.restarts import fit_mmctm_restarts
     from .utils.formatting import infer_vocab_size
@@ -65,6 +70,7 @@ def heldout_ll_curve(
             model = fit_mmctm_restarts(
                 k, list(alpha), X_train, V=V, restarts=restarts,
                 maxiter=maxiter, seed=seed,
+                compact_schedule=compact_schedule,
             )
         else:
             model = MMCTM(k, list(alpha), V, X_train, seed=seed)

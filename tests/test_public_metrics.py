@@ -149,3 +149,11 @@ def test_model_selection_workflow(mmctm_fixture):
         heldout_maxiter=5,
     )
     assert best_k in ([2, 2], [3, 2])
+
+    # multi-restart sweep with the zero-config folded-pilot compaction
+    # forwarded through to fit_mmctm_restarts (compact_schedule="auto")
+    curve_auto = heldout_ll_curve(
+        [[2, 2]], train, test, [0.1, 0.1], restarts=8, maxiter=10,
+        heldout_maxiter=5, compact_schedule="auto",
+    )
+    assert len(curve_auto) == 1 and np.all(np.isfinite(curve_auto[0][1]))
