@@ -555,6 +555,90 @@ def _concat_results(a, b):
     )
 
 
+@partial(jax.jit, static_argnames=("config", "maxiter", "tol"))
+def _lda_restarts_from_keys(keys, Xd, config, maxiter, tol):
+    """One LDA restart per PRNG key, vmapped into a single program.
+    MODULE-LEVEL with X as an argument (the fit_restarts_from_keys
+    pattern) so repeated fitter calls hit jax.jit's in-memory cache
+    instead of re-tracing a fresh closure per call."""
+    from ..models import lda as lda_mod
+
+    def one(key):
+        return lda_mod.fit(
+            lda_mod.init(key, config), Xd, config, maxiter=maxiter, tol=tol
+        )
+
+    return jax.vmap(one)(keys)
+
+
+@partial(jax.jit, static_argnames=("config", "maxiter", "tol"))
+def _ilda_restarts_from_keys(keys, Xd, F, config, maxiter, tol):
+    """One ILDA restart per PRNG key (see _lda_restarts_from_keys)."""
+    from ..models import ilda as ilda_mod
+
+    def one(key):
+        return ilda_mod.fit(
+            ilda_mod.init(key, config), Xd, F, config, maxiter=maxiter, tol=tol
+        )
+
+    return jax.vmap(one)(keys)
+
+
+@partial(jax.jit, static_argnames=("config", "maxiter", "tol"))
+def _immctm_restarts_from_keys(keys, Xd, F, alpha_full, config, maxiter, tol):
+    """One IMMCTM restart per PRNG key (see _lda_restarts_from_keys).
+    `alpha_full` is the per-modality-per-feature α every lane starts from
+    (the wrapper ctor's scalar-α expansion, src/IMMCTM.jl:24-63)."""
+    from ..models import immctm as immctm_mod
+
+    def one(key):
+        state = immctm_mod.init(key, config, [np.zeros(i) for i in config.I])
+        return immctm_mod.fit(
+            state._replace(alpha=alpha_full), Xd, F, config,
+            maxiter=maxiter, tol=tol,
+        )
+
+    return jax.vmap(one)(keys)
+
+
+class _FamilyRunner:
+    """Binds a module-level jitted runner to its non-key arguments so the
+    family fitters and _family_restarts_auto share one call/lower surface.
+
+    Because the runner functions take X (and F/α) as ARGUMENTS rather than
+    baking them into the jaxpr as constants, (a) repeat calls hit jax.jit's
+    in-memory cache — no per-call re-trace — and (b) an AOT executable
+    memoized on shapes/dtypes/statics alone is safe: the compiled program
+    contains no dataset values, so it can never serve the wrong dataset's
+    results (the hazard that kept the closure-based predecessor uncached).
+    """
+
+    def __init__(self, fn, *args, **statics):
+        self.fn = fn
+        self.args = args
+        self.statics = statics
+
+    def __call__(self, keys):
+        return self.fn(keys, *self.args, **self.statics)
+
+    def lower(self, keys):
+        return self.fn.lower(keys, *self.args, **self.statics)
+
+    def aot_call(self, compiled, keys):
+        # AOT executables take only the dynamic args; statics are baked.
+        return compiled(keys, *self.args)
+
+    def aot_signature(self, keys):
+        leaves = jax.tree_util.tree_leaves(self.args)
+        return (
+            self.fn,
+            keys.shape, str(keys.dtype),
+            tuple((x.shape, str(x.dtype)) for x in leaves),
+            tuple(sorted(self.statics.items())),
+            str(jax.devices()[0]),
+        )
+
+
 def _derive_auto_schedule(iters, t_warm, production_restarts, maxiter,
                           max_boundaries):
     """Schedule derivation shared by the folded-pilot auto fits (MMCTM's
@@ -593,13 +677,11 @@ def _family_restarts_auto(keys, run_unchunked, run_scheduled, restarts,
     distribution plus one cached boundary calibration. Nothing is fit
     twice, and the lanes keep their original key order.
 
-    `run_unchunked` is the family's jitted keys -> batched-FitResult
-    closure; `run_scheduled(keys, schedule)` its compacted driver. The AOT
-    lower/compile here is paid per call (~0.3 s host work): unlike the
-    MMCTM path (whose module-level jit takes X as an argument), the family
-    closures bake the count matrix in as a jaxpr constant, so an executable
-    cache keyed on shapes alone would silently serve one dataset's
-    executable to another.
+    `run_unchunked` is the family's keys -> batched-FitResult runner — a
+    _FamilyRunner over the module-level jitted per-family function, whose
+    AOT pilot executable is memoized in _PILOT_EXEC_CACHE (safe because X
+    is an argument, not a baked constant; see _FamilyRunner) — and
+    `run_scheduled(keys, schedule)` its compacted driver.
 
     Returns (batched FitResult over all lanes in key order, info dict with
     the derivation measurements)."""
@@ -621,11 +703,19 @@ def _family_restarts_auto(keys, run_unchunked, run_scheduled, restarts,
             "schedule": (),
             "note": "too few restarts to split; single unchunked fit",
         }
-    compiled = run_unchunked.lower(keys[:P]).compile()
+    if isinstance(run_unchunked, _FamilyRunner):
+        sig = run_unchunked.aot_signature(keys[:P])
+        if sig not in _PILOT_EXEC_CACHE:
+            _PILOT_EXEC_CACHE[sig] = run_unchunked.lower(keys[:P]).compile()
+        compiled = run_unchunked.aot_call
+        executable = _PILOT_EXEC_CACHE[sig]
+    else:  # plain jitted closure (no safe memo key: constants baked in)
+        executable = run_unchunked.lower(keys[:P]).compile()
+        compiled = lambda exe, ks: exe(ks)  # noqa: E731
     # device_get an output leaf, not block_until_ready: see
     # auto_compact_schedule for why the latter lies on the axon backend
     t0 = time.perf_counter()
-    pilot = compiled(keys[:P])
+    pilot = compiled(executable, keys[:P])
     iters = np.asarray(jax.device_get(pilot.n_iters))
     t_warm = time.perf_counter() - t0
     schedule, info = _derive_auto_schedule(
@@ -1249,12 +1339,9 @@ def fit_lda_restarts(
     cfg, Xd = model.config, model.Xdense
     keys = jax.random.split(jax.random.key(seed), restarts)
 
-    @jax.jit
-    def run(keys):
-        def one(key):
-            return lda_mod.fit(lda_mod.init(key, cfg), Xd, cfg, maxiter=maxiter, tol=tol)
-
-        return jax.vmap(one)(keys)
+    run = _FamilyRunner(
+        _lda_restarts_from_keys, Xd, config=cfg, maxiter=maxiter, tol=tol
+    )
 
     def scheduled(ks, sched):
         return _scalar_metric_chunked(
@@ -1318,14 +1405,9 @@ def fit_ilda_restarts(
     cfg, Xd, F = model.config, model.Xdense, model.F
     keys = jax.random.split(jax.random.key(seed), restarts)
 
-    @jax.jit
-    def run(keys):
-        def one(key):
-            return ilda_mod.fit(
-                ilda_mod.init(key, cfg), Xd, F, cfg, maxiter=maxiter, tol=tol
-            )
-
-        return jax.vmap(one)(keys)
+    run = _FamilyRunner(
+        _ilda_restarts_from_keys, Xd, F, config=cfg, maxiter=maxiter, tol=tol
+    )
 
     def scheduled(ks, sched):
         def step(s):
@@ -1407,12 +1489,10 @@ def fit_immctm_restarts(
         state = immctm_mod.init(key, cfg, [np.zeros(i) for i in cfg.I])
         return state._replace(alpha=alpha_full)
 
-    @jax.jit
-    def run(keys):
-        def one(key):
-            return immctm_mod.fit(init_one(key), Xd, F, cfg, maxiter=maxiter, tol=tol)
-
-        return jax.vmap(one)(keys)
+    run = _FamilyRunner(
+        _immctm_restarts_from_keys, Xd, F, alpha_full,
+        config=cfg, maxiter=maxiter, tol=tol,
+    )
 
     def scheduled(ks, sched):
         N = counts_per_doc(Xd)

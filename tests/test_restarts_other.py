@@ -186,3 +186,31 @@ def test_family_auto_rejects_chunk_iters(lda_fixture):
             lda_fixture["X"], restarts=8, maxiter=10,
             compact_schedule="auto", chunk_iters=5,
         )
+
+
+def test_family_fitters_reuse_executables():
+    """The family runners are module-level jits taking X as an ARGUMENT
+    (not a closure constant), so (a) repeat fitter calls hit jax.jit's
+    in-memory cache — no per-call re-trace — and (b) two same-shape
+    datasets share one executable yet get their own results (the compiled
+    program contains no dataset values)."""
+    from multimodalmusig_tpu.parallel.restarts import _lda_restarts_from_keys
+
+    rng = np.random.default_rng(0)
+    X1 = [list(np.stack([np.arange(1, 5), rng.integers(1, 9, 4)]).T)
+          for _ in range(3)]
+    X2 = [list(np.stack([np.arange(1, 5), rng.integers(9, 17, 4)]).T)
+          for _ in range(3)]
+    kw = dict(restarts=4, maxiter=12, tol=1e-6, seed=3)
+
+    before = _lda_restarts_from_keys._cache_size()
+    a1 = fit_lda_restarts(2, 0.1, 0.1, X1, **kw)
+    grew = _lda_restarts_from_keys._cache_size()
+    a2 = fit_lda_restarts(2, 0.1, 0.1, X1, **kw)
+    b = fit_lda_restarts(2, 0.1, 0.1, X2, **kw)
+    after = _lda_restarts_from_keys._cache_size()
+
+    assert grew == before + 1
+    assert after == grew  # same executable served all three calls
+    np.testing.assert_array_equal(a1.lam, a2.lam)  # determinism intact
+    assert not np.allclose(a1.lam, b.lam)  # X really is an argument
