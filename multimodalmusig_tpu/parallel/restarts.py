@@ -601,6 +601,140 @@ def _immctm_restarts_from_keys(keys, Xd, F, alpha_full, config, maxiter, tol):
     return jax.vmap(one)(keys)
 
 
+@partial(jax.jit, static_argnames=("config", "maxiter"))
+def _lda_init_carries(keys, config, maxiter):
+    """Batched (state, ll_history, iters, converged) carries for the LDA
+    chunked driver. MODULE-LEVEL jits (here through _immctm_finalize) for
+    the same reason as the runners above: closure jits re-trace per call."""
+    from ..models import lda as lda_mod
+
+    def one(k):
+        return (
+            lda_mod.init(k, config),
+            jnp.zeros((maxiter,), config.dtype),
+            jnp.int32(0),
+            jnp.array(False),
+        )
+
+    return jax.vmap(one)(keys)
+
+
+@partial(jax.jit, static_argnames=("config", "maxiter", "tol", "chunk"))
+def _lda_advance(carries, Xd, config, maxiter, tol, chunk):
+    from ..models import lda as lda_mod
+
+    def one(c):
+        return run_cavi_from(
+            c, maxiter, tol, lambda s: lda_mod._fit_step(s, Xd, config),
+            max_new_iters=chunk,
+        )
+
+    return jax.vmap(one)(carries)
+
+
+@partial(jax.jit, static_argnames=("config",))
+def _lda_finalize(carries, Xd, config):
+    from ..models import lda as lda_mod
+
+    def one(c):
+        return lda_mod.LDAFitResult(
+            state=c[0], ll_history=c[1], n_iters=c[2],
+            converged=carry_converged(c[1], c[2], c[3]),
+            elbo=lda_mod.calculate_elbo(c[0], Xd, config), ll=c[1][c[2] - 1],
+        )
+
+    return jax.vmap(one)(carries)
+
+
+@partial(jax.jit, static_argnames=("config", "maxiter"))
+def _ilda_init_carries(keys, config, maxiter):
+    from ..models import ilda as ilda_mod
+
+    def one(k):
+        return (
+            ilda_mod.init(k, config),
+            jnp.zeros((maxiter,), config.dtype),
+            jnp.int32(0),
+            jnp.array(False),
+        )
+
+    return jax.vmap(one)(keys)
+
+
+@partial(jax.jit, static_argnames=("config", "maxiter", "tol", "chunk"))
+def _ilda_advance(carries, Xd, F, config, maxiter, tol, chunk):
+    from ..models import ilda as ilda_mod
+
+    def step(s):
+        s = ilda_mod.update_gamma(s, Xd, config)
+        s = ilda_mod.update_phi(s, F)
+        s = ilda_mod.update_lambda(s, Xd, F, config)
+        ll_i = ilda_mod.loglikelihood(
+            Xd, ilda_mod.theta_point(s), ilda_mod.beta_point(s), F
+        )
+        return s, ll_i
+
+    def one(c):
+        return run_cavi_from(c, maxiter, tol, step, max_new_iters=chunk)
+
+    return jax.vmap(one)(carries)
+
+
+@partial(jax.jit, static_argnames=("config",))
+def _ilda_finalize(carries, Xd, F, config):
+    from ..models import ilda as ilda_mod
+
+    def one(c):
+        return ilda_mod.ILDAFitResult(
+            state=c[0], ll_history=c[1], n_iters=c[2],
+            converged=carry_converged(c[1], c[2], c[3]),
+            elbo=ilda_mod.calculate_elbo(c[0], Xd, F, config),
+            ll=c[1][c[2] - 1],
+        )
+
+    return jax.vmap(one)(carries)
+
+
+@partial(jax.jit, static_argnames=("config", "maxiter"))
+def _immctm_init_carries(keys, alpha_full, config, maxiter):
+    from ..models import immctm as immctm_mod
+
+    def one(k):
+        st = immctm_mod.init(k, config, [np.zeros(i) for i in config.I])
+        return make_cavi_carry(st._replace(alpha=alpha_full), config, maxiter)
+
+    return jax.vmap(one)(keys)
+
+
+@partial(jax.jit, static_argnames=("config", "maxiter", "tol", "chunk"))
+def _immctm_advance(carries, Xd, F, config, maxiter, tol, chunk):
+    from ..models import immctm as immctm_mod
+
+    step = immctm_mod.fit_step_fn(Xd, counts_per_doc(Xd), F, config)
+
+    def one(c):
+        return run_cavi_from(c, maxiter, tol, step, max_new_iters=chunk)
+
+    return jax.vmap(one)(carries)
+
+
+@partial(jax.jit, static_argnames=("config",))
+def _immctm_finalize(carries, Xd, F, config):
+    from ..models import immctm as immctm_mod
+
+    N = counts_per_doc(Xd)
+
+    def one(c):
+        return immctm_mod.IMMCTMFitResult(
+            state=c[0], ll_history=c[1], n_iters=c[2],
+            converged=carry_converged(c[1], c[2], c[3]),
+            elbo=immctm_mod.calculate_elbo(c[0], Xd, N, F, config),
+            ll=c[1][c[2] - 1],
+        )
+
+    return jax.vmap(one)(carries)
+
+
 class _FamilyRunner:
     """Binds a module-level jitted runner to its non-key arguments so the
     family fitters and _family_restarts_auto share one call/lower surface.
@@ -1273,34 +1407,6 @@ def _resolve_schedule(chunk_iters, compact_schedule):
     return tuple(compact_schedule)
 
 
-def _scalar_metric_chunked(init_one, step, finalize_one, keys, maxiter, tol,
-                           schedule, restarts, dtype):
-    """Chunked best-of-N driver for the scalar-ll models (LDA/ILDA)."""
-
-    @jax.jit
-    def init_c(keys):
-        def one(k):
-            return (
-                init_one(k),
-                jnp.zeros((maxiter,), dtype),
-                jnp.int32(0),
-                jnp.array(False),
-            )
-
-        return jax.vmap(one)(keys)
-
-    @partial(jax.jit, static_argnames=("b",))
-    def advance(carries, b):
-        return jax.vmap(
-            lambda c: run_cavi_from(c, maxiter, tol, step, max_new_iters=b)
-        )(carries)
-
-    final = _chunked_drive(
-        init_c(keys), advance, maxiter, restarts, schedule=schedule
-    )
-    return jax.jit(jax.vmap(finalize_one))(final)
-
-
 def _best_scalar_ll_lane(result, rescore_fn, rescore_f64: bool) -> int:
     """argmax-final-ll selection for the scalar-metric families (LDA/ILDA),
     reading exact f64 host re-scores of the shortlisted final states by
@@ -1331,7 +1437,6 @@ def fit_lda_restarts(
     or "auto" for the zero-config folded-pilot derivation (the first
     `pilot_restarts` lanes double as the schedule pilot —
     _family_restarts_auto); the derivation lands on `model.compact_info`."""
-    from ..models import lda as lda_mod
     from ..models.lda import LDA
 
     args = (k, alpha, eta) + (() if V is None else (V,)) + (X,)
@@ -1344,16 +1449,14 @@ def fit_lda_restarts(
     )
 
     def scheduled(ks, sched):
-        return _scalar_metric_chunked(
-            lambda key: lda_mod.init(key, cfg),
-            lambda s: lda_mod._fit_step(s, Xd, cfg),
-            lambda c: lda_mod.LDAFitResult(
-                state=c[0], ll_history=c[1], n_iters=c[2],
-                converged=carry_converged(c[1], c[2], c[3]),
-                elbo=lda_mod.calculate_elbo(c[0], Xd, cfg), ll=c[1][c[2] - 1],
+        final = _chunked_drive(
+            _lda_init_carries(ks, config=cfg, maxiter=maxiter),
+            lambda c, b: _lda_advance(
+                c, Xd, config=cfg, maxiter=maxiter, tol=tol, chunk=b
             ),
-            ks, maxiter, tol, sched, int(ks.shape[0]), cfg.dtype,
+            maxiter, int(ks.shape[0]), schedule=sched,
         )
+        return _lda_finalize(final, Xd, config=cfg)
 
     if compact_schedule == "auto":
         if chunk_iters is not None:
@@ -1398,7 +1501,6 @@ def fit_ilda_restarts(
     driver; `compact_schedule` the 2-phase straggler fit (see fit_restarts),
     or "auto" for the zero-config folded-pilot derivation
     (_family_restarts_auto; derivation lands on `model.compact_info`)."""
-    from ..models import ilda as ilda_mod
     from ..models.ilda import ILDA
 
     model = ILDA(k, alpha, eta, features, X, dtype=dtype)
@@ -1410,25 +1512,14 @@ def fit_ilda_restarts(
     )
 
     def scheduled(ks, sched):
-        def step(s):
-            s = ilda_mod.update_gamma(s, Xd, cfg)
-            s = ilda_mod.update_phi(s, F)
-            s = ilda_mod.update_lambda(s, Xd, F, cfg)
-            ll_i = ilda_mod.loglikelihood(
-                Xd, ilda_mod.theta_point(s), ilda_mod.beta_point(s), F
-            )
-            return s, ll_i
-
-        return _scalar_metric_chunked(
-            lambda key: ilda_mod.init(key, cfg),
-            step,
-            lambda c: ilda_mod.ILDAFitResult(
-                state=c[0], ll_history=c[1], n_iters=c[2],
-                converged=carry_converged(c[1], c[2], c[3]),
-                elbo=ilda_mod.calculate_elbo(c[0], Xd, F, cfg), ll=c[1][c[2] - 1],
+        final = _chunked_drive(
+            _ilda_init_carries(ks, config=cfg, maxiter=maxiter),
+            lambda c, b: _ilda_advance(
+                c, Xd, F, config=cfg, maxiter=maxiter, tol=tol, chunk=b
             ),
-            ks, maxiter, tol, sched, int(ks.shape[0]), cfg.dtype,
+            maxiter, int(ks.shape[0]), schedule=sched,
         )
+        return _ilda_finalize(final, Xd, F, config=cfg)
 
     if compact_schedule == "auto":
         if chunk_iters is not None:
@@ -1476,8 +1567,6 @@ def fit_immctm_restarts(
     MMCTM path; `compact_schedule` the 2-phase straggler fit (see
     fit_restarts), or "auto" for the zero-config folded-pilot derivation
     (_family_restarts_auto; derivation lands on `model.compact_info`)."""
-    from ..models import immctm as immctm_mod
-    from ..models.ctm_base import make_cavi_carry as _mk
     from ..models.immctm import IMMCTM
 
     model = IMMCTM(k, alpha, features, X, dtype=dtype)
@@ -1485,47 +1574,20 @@ def fit_immctm_restarts(
     alpha_full = model.state.alpha
     keys = jax.random.split(jax.random.key(seed), restarts)
 
-    def init_one(key):
-        state = immctm_mod.init(key, cfg, [np.zeros(i) for i in cfg.I])
-        return state._replace(alpha=alpha_full)
-
     run = _FamilyRunner(
         _immctm_restarts_from_keys, Xd, F, alpha_full,
         config=cfg, maxiter=maxiter, tol=tol,
     )
 
     def scheduled(ks, sched):
-        N = counts_per_doc(Xd)
-
-        @jax.jit
-        def init_c(kk):
-            return jax.vmap(lambda k2: _mk(init_one(k2), cfg, maxiter))(kk)
-
-        step = immctm_mod.fit_step_fn(Xd, N, F, cfg)
-
-        @partial(jax.jit, static_argnames=("b",))
-        def advance(carries, b):
-            return jax.vmap(
-                lambda c: run_cavi_from(c, maxiter, tol, step, max_new_iters=b)
-            )(carries)
-
-        @jax.jit
-        def finalize(carries):
-            return jax.vmap(
-                lambda c: immctm_mod.IMMCTMFitResult(
-                    state=c[0],
-                    ll_history=c[1],
-                    n_iters=c[2],
-                    converged=carry_converged(c[1], c[2], c[3]),
-                    elbo=immctm_mod.calculate_elbo(c[0], Xd, N, F, cfg),
-                    ll=c[1][c[2] - 1],
-                )
-            )(carries)
-
         final = _chunked_drive(
-            init_c(ks), advance, maxiter, int(ks.shape[0]), schedule=sched
+            _immctm_init_carries(ks, alpha_full, config=cfg, maxiter=maxiter),
+            lambda c, b: _immctm_advance(
+                c, Xd, F, config=cfg, maxiter=maxiter, tol=tol, chunk=b
+            ),
+            maxiter, int(ks.shape[0]), schedule=sched,
         )
-        return finalize(final)
+        return _immctm_finalize(final, Xd, F, config=cfg)
 
     if compact_schedule == "auto":
         if chunk_iters is not None:
