@@ -431,8 +431,8 @@ def _boundary_carries(c, done_idx, pad_idx, X, config, maxiter, tol, b):
 @jax.jit
 def _split_tree(tree, done_idx, pad_idx):
     """Done-lane gather + survivor re-pack as ONE device execution — the
-    unfused boundary fallback for drivers whose advance closures are not
-    backed by a module-level jit (LDA/ILDA/IMMCTM best-of-N)."""
+    unfused boundary fallback for _chunked_drive callers that pass no
+    fused `boundary` (every in-repo family driver now passes one)."""
     return (
         jax.tree_util.tree_map(lambda x: x[done_idx], tree),
         jax.tree_util.tree_map(lambda x: x[pad_idx], tree),
@@ -619,8 +619,7 @@ def _lda_init_carries(keys, config, maxiter):
     return jax.vmap(one)(keys)
 
 
-@partial(jax.jit, static_argnames=("config", "maxiter", "tol", "chunk"))
-def _lda_advance(carries, Xd, config, maxiter, tol, chunk):
+def _lda_advance_body(carries, Xd, config, maxiter, tol, chunk):
     from ..models import lda as lda_mod
 
     def one(c):
@@ -630,6 +629,19 @@ def _lda_advance(carries, Xd, config, maxiter, tol, chunk):
         )
 
     return jax.vmap(one)(carries)
+
+
+_lda_advance = partial(
+    jax.jit, static_argnames=("config", "maxiter", "tol", "chunk")
+)(_lda_advance_body)
+
+
+@partial(jax.jit, static_argnames=("config", "maxiter", "tol", "b"))
+def _lda_boundary(c, done_idx, pad_idx, Xd, config, maxiter, tol, b):
+    """Fused LDA compaction boundary (see _boundary_carries)."""
+    done_grp = jax.tree_util.tree_map(lambda x: x[done_idx], c)
+    packed = jax.tree_util.tree_map(lambda x: x[pad_idx], c)
+    return done_grp, _lda_advance_body(packed, Xd, config, maxiter, tol, b)
 
 
 @partial(jax.jit, static_argnames=("config",))
@@ -661,8 +673,7 @@ def _ilda_init_carries(keys, config, maxiter):
     return jax.vmap(one)(keys)
 
 
-@partial(jax.jit, static_argnames=("config", "maxiter", "tol", "chunk"))
-def _ilda_advance(carries, Xd, F, config, maxiter, tol, chunk):
+def _ilda_advance_body(carries, Xd, F, config, maxiter, tol, chunk):
     from ..models import ilda as ilda_mod
 
     def step(s):
@@ -678,6 +689,19 @@ def _ilda_advance(carries, Xd, F, config, maxiter, tol, chunk):
         return run_cavi_from(c, maxiter, tol, step, max_new_iters=chunk)
 
     return jax.vmap(one)(carries)
+
+
+_ilda_advance = partial(
+    jax.jit, static_argnames=("config", "maxiter", "tol", "chunk")
+)(_ilda_advance_body)
+
+
+@partial(jax.jit, static_argnames=("config", "maxiter", "tol", "b"))
+def _ilda_boundary(c, done_idx, pad_idx, Xd, F, config, maxiter, tol, b):
+    """Fused ILDA compaction boundary (see _boundary_carries)."""
+    done_grp = jax.tree_util.tree_map(lambda x: x[done_idx], c)
+    packed = jax.tree_util.tree_map(lambda x: x[pad_idx], c)
+    return done_grp, _ilda_advance_body(packed, Xd, F, config, maxiter, tol, b)
 
 
 @partial(jax.jit, static_argnames=("config",))
@@ -706,8 +730,7 @@ def _immctm_init_carries(keys, alpha_full, config, maxiter):
     return jax.vmap(one)(keys)
 
 
-@partial(jax.jit, static_argnames=("config", "maxiter", "tol", "chunk"))
-def _immctm_advance(carries, Xd, F, config, maxiter, tol, chunk):
+def _immctm_advance_body(carries, Xd, F, config, maxiter, tol, chunk):
     from ..models import immctm as immctm_mod
 
     step = immctm_mod.fit_step_fn(Xd, counts_per_doc(Xd), F, config)
@@ -716,6 +739,21 @@ def _immctm_advance(carries, Xd, F, config, maxiter, tol, chunk):
         return run_cavi_from(c, maxiter, tol, step, max_new_iters=chunk)
 
     return jax.vmap(one)(carries)
+
+
+_immctm_advance = partial(
+    jax.jit, static_argnames=("config", "maxiter", "tol", "chunk")
+)(_immctm_advance_body)
+
+
+@partial(jax.jit, static_argnames=("config", "maxiter", "tol", "b"))
+def _immctm_boundary(c, done_idx, pad_idx, Xd, F, config, maxiter, tol, b):
+    """Fused IMMCTM compaction boundary (see _boundary_carries)."""
+    done_grp = jax.tree_util.tree_map(lambda x: x[done_idx], c)
+    packed = jax.tree_util.tree_map(lambda x: x[pad_idx], c)
+    return done_grp, _immctm_advance_body(
+        packed, Xd, F, config, maxiter, tol, b
+    )
 
 
 @partial(jax.jit, static_argnames=("config",))
@@ -1455,6 +1493,9 @@ def fit_lda_restarts(
                 c, Xd, config=cfg, maxiter=maxiter, tol=tol, chunk=b
             ),
             maxiter, int(ks.shape[0]), schedule=sched,
+            boundary=lambda c, d, p, b: _lda_boundary(
+                c, d, p, Xd, config=cfg, maxiter=maxiter, tol=tol, b=b
+            ),
         )
         return _lda_finalize(final, Xd, config=cfg)
 
@@ -1518,6 +1559,9 @@ def fit_ilda_restarts(
                 c, Xd, F, config=cfg, maxiter=maxiter, tol=tol, chunk=b
             ),
             maxiter, int(ks.shape[0]), schedule=sched,
+            boundary=lambda c, d, p, b: _ilda_boundary(
+                c, d, p, Xd, F, config=cfg, maxiter=maxiter, tol=tol, b=b
+            ),
         )
         return _ilda_finalize(final, Xd, F, config=cfg)
 
@@ -1586,6 +1630,9 @@ def fit_immctm_restarts(
                 c, Xd, F, config=cfg, maxiter=maxiter, tol=tol, chunk=b
             ),
             maxiter, int(ks.shape[0]), schedule=sched,
+            boundary=lambda c, d, p, b: _immctm_boundary(
+                c, d, p, Xd, F, config=cfg, maxiter=maxiter, tol=tol, b=b
+            ),
         )
         return _immctm_finalize(final, Xd, F, config=cfg)
 
