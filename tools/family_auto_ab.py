@@ -98,35 +98,29 @@ def main():
             out[name]["pilot_warm_s"] = round(info["pilot_warm_s"], 3)
         print(name, json.dumps(out[name]), flush=True)
 
-    # --- phase breakdown of one plain LDA call (fresh closure, as the
-    # fitter builds it): trace+lower, compile (persistent-cache hit),
-    # execute — isolates host overhead from device work -----------------
-    from multimodalmusig_tpu.models import lda as lda_mod
+    # --- phase breakdown of the production LDA runner (module-level jit,
+    # X as an argument): trace+lower, compile (persistent-cache hit or
+    # miss), execute — isolates host overhead from device work ----------
     from multimodalmusig_tpu.models.lda import LDA
+    from multimodalmusig_tpu.parallel.restarts import _lda_restarts_from_keys
 
     model = LDA(7, 0.1, 0.1, X_lda)
     cfg, Xd = model.config, model.Xdense
     keys = jax.random.split(jax.random.key(147959412), R)
 
-    @jax.jit
-    def run(keys):
-        def one(key):
-            return lda_mod.fit(lda_mod.init(key, cfg), Xd, cfg,
-                               maxiter=args.maxiter, tol=args.tol)
-
-        return jax.vmap(one)(keys)
-
     t0 = time.perf_counter()
-    lowered = run.lower(keys)
+    lowered = _lda_restarts_from_keys.lower(
+        keys, Xd, config=cfg, maxiter=args.maxiter, tol=args.tol
+    )
     t_lower = time.perf_counter() - t0
     t0 = time.perf_counter()
     compiled = lowered.compile()
     t_compile = time.perf_counter() - t0
     t0 = time.perf_counter()
-    jax.block_until_ready(compiled(keys))
+    jax.block_until_ready(compiled(keys, Xd))
     t_exec1 = time.perf_counter() - t0
     t0 = time.perf_counter()
-    jax.block_until_ready(compiled(keys))
+    jax.block_until_ready(compiled(keys, Xd))
     t_exec2 = time.perf_counter() - t0
     out["lda_phase_breakdown"] = {
         "trace_lower_s": round(t_lower, 3),
