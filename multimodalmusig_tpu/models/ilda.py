@@ -271,6 +271,22 @@ def _run_cavi(state, config, maxiter, tol, step_fn, verbose=False):
     )
 
 
+def fit_step_fn(X, F, config: ILDAConfig):
+    """One CAVI iteration (the loop body of src/ILDA.jl:246-272,
+    γ → ϕ → λ → ll) as a state -> (state, ll) step. The single source of
+    the iteration used by both `fit` and the compacted restart driver
+    (parallel/restarts.py), so their lanes can never drift apart."""
+
+    def step(s):
+        s = update_gamma(s, X, config)
+        s = update_phi(s, F)
+        s = update_lambda(s, X, F, config)
+        ll_i = loglikelihood(X, theta_point(s), beta_point(s), F)
+        return s, ll_i
+
+    return step
+
+
 def fit(
     state: ILDAState,
     X: jnp.ndarray,
@@ -281,14 +297,7 @@ def fit(
     verbose: bool = False,
 ) -> ILDAFitResult:
     """Full ILDA fit, the loop of src/ILDA.jl:246-272 (γ → ϕ → λ → ll)."""
-
-    def step(s):
-        s = update_gamma(s, X, config)
-        s = update_phi(s, F)
-        s = update_lambda(s, X, F, config)
-        ll_i = loglikelihood(X, theta_point(s), beta_point(s), F)
-        return s, ll_i
-
+    step = fit_step_fn(X, F, config)
     state, ll_buf, n_iters, converged = _run_cavi(state, config, maxiter, tol, step, verbose)
     return ILDAFitResult(
         state=state,

@@ -522,6 +522,17 @@ def _fit_scheduled_from_keys(
 
 
 _PILOT_EXEC_CACHE: dict = {}
+_PILOT_EXEC_CACHE_MAX = 32
+
+
+def _pilot_cache_put(sig, exe):
+    """Insert with FIFO eviction. Model-selection sweeps with
+    compact_schedule="auto" create one pilot executable per (family, K,
+    shapes, budgets) signature; without a cap a long-lived process would
+    retain every compiled while_loop program forever."""
+    _PILOT_EXEC_CACHE[sig] = exe
+    while len(_PILOT_EXEC_CACHE) > _PILOT_EXEC_CACHE_MAX:
+        _PILOT_EXEC_CACHE.pop(next(iter(_PILOT_EXEC_CACHE)))
 
 
 def _pilot_executable(keys, X, config, alpha, maxiter, tol, init_method):
@@ -538,10 +549,10 @@ def _pilot_executable(keys, X, config, alpha, maxiter, tol, init_method):
         maxiter, tol, init_method, str(jax.devices()[0]),
     )
     if sig not in _PILOT_EXEC_CACHE:
-        _PILOT_EXEC_CACHE[sig] = fit_restarts_from_keys.lower(
+        _pilot_cache_put(sig, fit_restarts_from_keys.lower(
             keys, X, config, alpha,
             maxiter=maxiter, tol=tol, init_method=init_method,
-        ).compile()
+        ).compile())
     return _PILOT_EXEC_CACHE[sig]
 
 
@@ -636,12 +647,23 @@ _lda_advance = partial(
 )(_lda_advance_body)
 
 
-@partial(jax.jit, static_argnames=("config", "maxiter", "tol", "b"))
-def _lda_boundary(c, done_idx, pad_idx, Xd, config, maxiter, tol, b):
-    """Fused LDA compaction boundary (see _boundary_carries)."""
-    done_grp = jax.tree_util.tree_map(lambda x: x[done_idx], c)
-    packed = jax.tree_util.tree_map(lambda x: x[pad_idx], c)
-    return done_grp, _lda_advance_body(packed, Xd, config, maxiter, tol, b)
+def _make_family_boundary(advance_body):
+    """Fused compaction boundary for a family driver (see
+    _boundary_carries for why it must be a module-level jit): done-lane
+    gather + survivor re-pack + next advance as ONE device execution.
+    Applied at module scope so each family shares one definition while
+    keeping its own jit cache."""
+
+    @partial(jax.jit, static_argnames=("config", "maxiter", "tol", "b"))
+    def boundary(c, done_idx, pad_idx, *data, config, maxiter, tol, b):
+        done_grp = jax.tree_util.tree_map(lambda x: x[done_idx], c)
+        packed = jax.tree_util.tree_map(lambda x: x[pad_idx], c)
+        return done_grp, advance_body(packed, *data, config, maxiter, tol, b)
+
+    return boundary
+
+
+_lda_boundary = _make_family_boundary(_lda_advance_body)
 
 
 @partial(jax.jit, static_argnames=("config",))
@@ -676,14 +698,7 @@ def _ilda_init_carries(keys, config, maxiter):
 def _ilda_advance_body(carries, Xd, F, config, maxiter, tol, chunk):
     from ..models import ilda as ilda_mod
 
-    def step(s):
-        s = ilda_mod.update_gamma(s, Xd, config)
-        s = ilda_mod.update_phi(s, F)
-        s = ilda_mod.update_lambda(s, Xd, F, config)
-        ll_i = ilda_mod.loglikelihood(
-            Xd, ilda_mod.theta_point(s), ilda_mod.beta_point(s), F
-        )
-        return s, ll_i
+    step = ilda_mod.fit_step_fn(Xd, F, config)
 
     def one(c):
         return run_cavi_from(c, maxiter, tol, step, max_new_iters=chunk)
@@ -696,12 +711,7 @@ _ilda_advance = partial(
 )(_ilda_advance_body)
 
 
-@partial(jax.jit, static_argnames=("config", "maxiter", "tol", "b"))
-def _ilda_boundary(c, done_idx, pad_idx, Xd, F, config, maxiter, tol, b):
-    """Fused ILDA compaction boundary (see _boundary_carries)."""
-    done_grp = jax.tree_util.tree_map(lambda x: x[done_idx], c)
-    packed = jax.tree_util.tree_map(lambda x: x[pad_idx], c)
-    return done_grp, _ilda_advance_body(packed, Xd, F, config, maxiter, tol, b)
+_ilda_boundary = _make_family_boundary(_ilda_advance_body)
 
 
 @partial(jax.jit, static_argnames=("config",))
@@ -746,14 +756,7 @@ _immctm_advance = partial(
 )(_immctm_advance_body)
 
 
-@partial(jax.jit, static_argnames=("config", "maxiter", "tol", "b"))
-def _immctm_boundary(c, done_idx, pad_idx, Xd, F, config, maxiter, tol, b):
-    """Fused IMMCTM compaction boundary (see _boundary_carries)."""
-    done_grp = jax.tree_util.tree_map(lambda x: x[done_idx], c)
-    packed = jax.tree_util.tree_map(lambda x: x[pad_idx], c)
-    return done_grp, _immctm_advance_body(
-        packed, Xd, F, config, maxiter, tol, b
-    )
+_immctm_boundary = _make_family_boundary(_immctm_advance_body)
 
 
 @partial(jax.jit, static_argnames=("config",))
@@ -878,7 +881,7 @@ def _family_restarts_auto(keys, run_unchunked, run_scheduled, restarts,
     if isinstance(run_unchunked, _FamilyRunner):
         sig = run_unchunked.aot_signature(keys[:P])
         if sig not in _PILOT_EXEC_CACHE:
-            _PILOT_EXEC_CACHE[sig] = run_unchunked.lower(keys[:P]).compile()
+            _pilot_cache_put(sig, run_unchunked.lower(keys[:P]).compile())
         compiled = run_unchunked.aot_call
         executable = _PILOT_EXEC_CACHE[sig]
     else:  # plain jitted closure (no safe memo key: constants baked in)
