@@ -188,6 +188,24 @@ def test_family_auto_rejects_chunk_iters(lda_fixture):
         )
 
 
+def test_pilot_cache_eviction():
+    """_PILOT_EXEC_CACHE is FIFO-capped so per-K auto-compaction sweeps
+    can't retain unbounded compiled executables in a long-lived process."""
+    from multimodalmusig_tpu.parallel import restarts as r
+
+    saved = dict(r._PILOT_EXEC_CACHE)
+    r._PILOT_EXEC_CACHE.clear()
+    try:
+        for i in range(r._PILOT_EXEC_CACHE_MAX + 5):
+            r._pilot_cache_put(("sig", i), object())
+        assert len(r._PILOT_EXEC_CACHE) == r._PILOT_EXEC_CACHE_MAX
+        assert ("sig", 0) not in r._PILOT_EXEC_CACHE  # oldest evicted
+        assert ("sig", r._PILOT_EXEC_CACHE_MAX + 4) in r._PILOT_EXEC_CACHE
+    finally:
+        r._PILOT_EXEC_CACHE.clear()
+        r._PILOT_EXEC_CACHE.update(saved)
+
+
 def test_family_fitters_reuse_executables():
     """The family runners are module-level jits taking X as an ARGUMENT
     (not a closure constant), so (a) repeat fitter calls hit jax.jit's
