@@ -814,6 +814,49 @@ class _FamilyRunner:
         )
 
 
+def _shmap_family_restarts(runner, keys, devices):
+    """Explicit per-device restart fan-out for a family runner: shard_map
+    over a flat "restart" mesh, data replicated, zero collectives — the
+    family analogue of sharding.shmap_fit_restarts (the reference's only
+    parallelism is exactly this fan-out, run_mmctm.jl:99-111). Lanes pad
+    to a multiple of the device count by cycling keys (duplicates compute
+    identical trajectories and are dropped on return).
+
+    The jit closure here re-traces per call, but the multi-chip fan-out is
+    a per-session entry point, not a loop body — and the inner runner call
+    inlines the already-cached module-level jaxpr."""
+    from jax import shard_map
+    from jax.sharding import Mesh, PartitionSpec as P
+
+    devs = list(devices)
+    n = len(devs)
+    mesh = Mesh(np.asarray(devs), axis_names=("restart",))
+    R = int(keys.shape[0])
+    R_pad = ((R + n - 1) // n) * n
+    keys = jnp.take(keys, jnp.arange(R_pad) % R, axis=0)
+
+    @jax.jit
+    def run(keys, *args):
+        def local(keys_l, *args_l):
+            return runner.fn(keys_l, *args_l, **runner.statics)
+
+        # check_vma off for the same reason as shmap_fit_restarts:
+        # replicated data feeds restart-varying loop carries; lanes are
+        # independent and every output is restart-varying.
+        return shard_map(
+            local,
+            mesh=mesh,
+            in_specs=(P("restart"),) + tuple(P() for _ in args),
+            out_specs=P("restart"),
+            check_vma=False,
+        )(keys, *args)
+
+    result = run(keys, *runner.args)
+    if R_pad != R:
+        result = jax.tree_util.tree_map(lambda x: x[:R], result)
+    return result
+
+
 def _derive_auto_schedule(iters, t_warm, production_restarts, maxiter,
                           max_boundaries):
     """Schedule derivation shared by the folded-pilot auto fits (MMCTM's
@@ -1470,6 +1513,7 @@ def fit_lda_restarts(
     compact_schedule=None,
     rescore_f64: bool = True,
     pilot_restarts: int = 64,
+    devices: Optional[Sequence] = None,
 ):
     """Best-of-N LDA fitting: vmapped restarts, argmax final log-likelihood
     (exact f64 host re-scores of the shortlisted final states by default —
@@ -1477,7 +1521,9 @@ def fit_lda_restarts(
     driver; `compact_schedule` the 2-phase straggler fit (see fit_restarts),
     or "auto" for the zero-config folded-pilot derivation (the first
     `pilot_restarts` lanes double as the schedule pilot —
-    _family_restarts_auto); the derivation lands on `model.compact_info`."""
+    _family_restarts_auto); the derivation lands on `model.compact_info`.
+    `devices` runs the lanes as a shard_map per-device fan-out over the
+    given devices (_shmap_family_restarts, the multi-chip path)."""
     from ..models.lda import LDA
 
     args = (k, alpha, eta) + (() if V is None else (V,)) + (X,)
@@ -1502,7 +1548,14 @@ def fit_lda_restarts(
         )
         return _lda_finalize(final, Xd, config=cfg)
 
-    if compact_schedule == "auto":
+    if devices is not None:
+        if chunk_iters is not None or compact_schedule:
+            raise ValueError(
+                "devices (the shard_map restart fan-out) is incompatible "
+                "with chunk_iters/compact_schedule (host-driven compaction)"
+            )
+        result = _shmap_family_restarts(run, keys, devices)
+    elif compact_schedule == "auto":
         if chunk_iters is not None:
             raise ValueError("chunk_iters and compact_schedule are mutually exclusive")
         result, model.compact_info = _family_restarts_auto(
@@ -1538,13 +1591,16 @@ def fit_ilda_restarts(
     compact_schedule=None,
     rescore_f64: bool = True,
     pilot_restarts: int = 64,
+    devices: Optional[Sequence] = None,
 ):
     """Best-of-N ILDA fitting: vmapped restarts, argmax final log-likelihood
     (exact f64 host re-scores of the shortlisted final states by default —
     parallel/rescore.py). `chunk_iters` enables the host-chunked compacted
     driver; `compact_schedule` the 2-phase straggler fit (see fit_restarts),
     or "auto" for the zero-config folded-pilot derivation
-    (_family_restarts_auto; derivation lands on `model.compact_info`)."""
+    (_family_restarts_auto; derivation lands on `model.compact_info`).
+    `devices` runs the lanes as a shard_map per-device fan-out over the
+    given devices (_shmap_family_restarts, the multi-chip path)."""
     from ..models.ilda import ILDA
 
     model = ILDA(k, alpha, eta, features, X, dtype=dtype)
@@ -1568,7 +1624,14 @@ def fit_ilda_restarts(
         )
         return _ilda_finalize(final, Xd, F, config=cfg)
 
-    if compact_schedule == "auto":
+    if devices is not None:
+        if chunk_iters is not None or compact_schedule:
+            raise ValueError(
+                "devices (the shard_map restart fan-out) is incompatible "
+                "with chunk_iters/compact_schedule (host-driven compaction)"
+            )
+        result = _shmap_family_restarts(run, keys, devices)
+    elif compact_schedule == "auto":
         if chunk_iters is not None:
             raise ValueError("chunk_iters and compact_schedule are mutually exclusive")
         result, model.compact_info = _family_restarts_auto(
@@ -1604,6 +1667,7 @@ def fit_immctm_restarts(
     compact_schedule=None,
     rescore_f64: bool = True,
     pilot_restarts: int = 64,
+    devices: Optional[Sequence] = None,
 ):
     """Best-of-N IMMCTM fitting: vmapped restarts; selection by min mean
     dense-rank of |ll| across modalities (the MMCTM CLI's criterion,
@@ -1613,7 +1677,9 @@ def fit_immctm_restarts(
     `chunk_iters` enables the same host-chunked compacted driver as the
     MMCTM path; `compact_schedule` the 2-phase straggler fit (see
     fit_restarts), or "auto" for the zero-config folded-pilot derivation
-    (_family_restarts_auto; derivation lands on `model.compact_info`)."""
+    (_family_restarts_auto; derivation lands on `model.compact_info`).
+    `devices` runs the lanes as a shard_map per-device fan-out over the
+    given devices (_shmap_family_restarts, the multi-chip path)."""
     from ..models.immctm import IMMCTM
 
     model = IMMCTM(k, alpha, features, X, dtype=dtype)
@@ -1639,7 +1705,14 @@ def fit_immctm_restarts(
         )
         return _immctm_finalize(final, Xd, F, config=cfg)
 
-    if compact_schedule == "auto":
+    if devices is not None:
+        if chunk_iters is not None or compact_schedule:
+            raise ValueError(
+                "devices (the shard_map restart fan-out) is incompatible "
+                "with chunk_iters/compact_schedule (host-driven compaction)"
+            )
+        result = _shmap_family_restarts(run, keys, devices)
+    elif compact_schedule == "auto":
         if chunk_iters is not None:
             raise ValueError("chunk_iters and compact_schedule are mutually exclusive")
         result, model.compact_info = _family_restarts_auto(

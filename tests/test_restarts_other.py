@@ -188,6 +188,44 @@ def test_family_auto_rejects_chunk_iters(lda_fixture):
         )
 
 
+def test_family_shmap_devices_matches_plain(lda_fixture, mmctm_fixture):
+    """devices= runs the family best-of-N as a shard_map per-device fan-out
+    (the family analogue of shmap_fit_restarts); the selected model must
+    match the single-device vmapped fit."""
+    import jax
+
+    kw = dict(restarts=6, maxiter=20, tol=1e-6, seed=7)
+    a = fit_lda_restarts(
+        lda_fixture["K"], lda_fixture["alpha"], lda_fixture["eta"],
+        lda_fixture["X"], **kw,
+    )
+    b = fit_lda_restarts(
+        lda_fixture["K"], lda_fixture["alpha"], lda_fixture["eta"],
+        lda_fixture["X"], devices=jax.devices("cpu")[:4], **kw,
+    )
+    np.testing.assert_allclose(a.ll, b.ll, rtol=1e-6)
+    np.testing.assert_allclose(a.lam, b.lam, rtol=1e-5)
+
+    # non-divisible restarts pad by cycling keys; result order preserved
+    kw = dict(restarts=5, maxiter=10, seed=2)
+    a = fit_immctm_restarts(
+        mmctm_fixture["K"], mmctm_fixture["alpha"], [FEATURES, FEATURES],
+        mmctm_fixture["X"], **kw,
+    )
+    b = fit_immctm_restarts(
+        mmctm_fixture["K"], mmctm_fixture["alpha"], [FEATURES, FEATURES],
+        mmctm_fixture["X"], devices=jax.devices("cpu")[:4], **kw,
+    )
+    np.testing.assert_allclose(np.asarray(a.ll), np.asarray(b.ll), rtol=1e-6)
+
+    with pytest.raises(ValueError, match="incompatible"):
+        fit_lda_restarts(
+            lda_fixture["K"], lda_fixture["alpha"], lda_fixture["eta"],
+            lda_fixture["X"], restarts=8, maxiter=10,
+            devices=jax.devices("cpu")[:4], compact_schedule=(4,),
+        )
+
+
 def test_pilot_cache_eviction():
     """_PILOT_EXEC_CACHE is FIFO-capped so per-K auto-compaction sweeps
     can't retain unbounded compiled executables in a long-lived process."""
