@@ -299,6 +299,23 @@ def dryrun_multichip(n_devices: int) -> None:
         err_msg="data-parallel fit diverged from single-device fit",
     )
 
+    # family best-of-N fan-out (fit_lda_restarts devices=...): the family
+    # runners' shard_map path must agree with the plain vmapped fit
+    from .restarts import fit_lda_restarts
+
+    docs = [
+        [np.array([v + 1, int(X[0][d, v])]) for v in range(config.V[0])
+         if X[0][d, v] > 0]
+        for d in range(min(D, 8))
+    ]
+    kwf = dict(restarts=2 * n_devices, maxiter=2, tol=1e-4, seed=5)
+    fam_plain = fit_lda_restarts(2, 0.1, 0.1, docs, **kwf)
+    fam_shard = fit_lda_restarts(2, 0.1, 0.1, docs, devices=devices, **kwf)
+    np.testing.assert_allclose(
+        fam_plain.ll, fam_shard.ll, rtol=2e-4,
+        err_msg="family shard_map fan-out diverged from vmapped fit",
+    )
+
     # vocab-sharded fit (the TP analog — SURVEY.md §2.8: shard the V axis of
     # counts/γ; XLA all-reduces the V-contractions in the M-step)
     flat = Mesh(np.asarray(devices).reshape(-1), axis_names=("vocab",))
