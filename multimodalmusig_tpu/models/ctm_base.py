@@ -58,6 +58,15 @@ class CTMBaseConfig:
     lambda_cg_iter: Any = None
     lambda_polish_iter: Any = None
     nu_n_iter: Any = None
+    # Secant-extrapolated λ warm start: the fit loop's λ solve starts at
+    # λ_t + c·(λ_t − λ_{t-1}) instead of λ_t (None/0 = off). The CAVI λ
+    # sequence converges geometrically, so a linear predictor lands the
+    # start closer to the optimum than the previous iterate does — a
+    # fewer-sequential-steps lever on the Newton/PCG dependency chain that
+    # dominates the iteration (NOTES.md round-5 item 3). Probed on-chip by
+    # tools/lambda_extrap_ab.py; only the fit loops see it (the first
+    # iteration has λ_{t-1} = λ_t, so cold starts are unaffected).
+    lambda_extrap: Any = None
     # Fused-λ-kernel override: None = auto (MUSIG_PALLAS / backend gate in
     # _use_fused_lambda), True/False = force. Static (part of the jit cache
     # key), so a per-trace decision is explicit rather than ambient — the
@@ -338,10 +347,19 @@ def resolved_budgets(config) -> dict:
     return out
 
 
-def solve_eta(lam, nu, N, sumtheta, mu, invSigma, config):
+def solve_eta(lam, nu, N, sumtheta, mu, invSigma, config, lam_prev=None):
     """The η-side of one batched `fitdoc!` (src/MMCTM.jl:450-455, minus θ):
     ζ (closed form) → N/ζ → ν solve → λ solve, for all documents at once.
     Returns (ζ, ν', λ').
+
+    `lam_prev` (the previous CAVI iteration's λ, i.e. the fit loops'
+    state.lam_pre) enables the config.lambda_extrap secant warm start for
+    the λ solve; the ζ/ν math always uses the un-extrapolated λ (the
+    reference's data flow, src/MMCTM.jl:450-455 — only the *initial point*
+    handed to the λ maximizer changes, and the maximizer's line search is
+    monotone from any start). The extrapolation step is clipped per
+    coordinate so a large early-iteration swing cannot overflow exp(λ) in
+    the solver's first gradient evaluation.
 
     Inner-solver budgets come from `resolved_budgets(config)` (float32 fits
     default to the measured warm-start caps; MUSIG_F32_FULL_BUDGETS=1 or
@@ -371,7 +389,11 @@ def solve_eta(lam, nu, N, sumtheta, mu, invSigma, config):
     Ndivzeta = calculate_Ndivzeta(N, zeta, config)
     nu_kw = {} if nu_n_iter is None else {"n_iter": nu_n_iter}
     nu2 = maximize_nu(nu, lam, Ndivzeta, jnp.diagonal(invSigma)[None, :], **nu_kw)
-    lam2 = solve_lambda(lam, nu2, Ndivzeta, sumtheta, mu, invSigma,
+    lam0 = lam
+    if config.lambda_extrap and lam_prev is not None:
+        c = float(config.lambda_extrap)
+        lam0 = lam + jnp.clip(c * (lam - lam_prev), -4.0, 4.0)
+    lam2 = solve_lambda(lam0, nu2, Ndivzeta, sumtheta, mu, invSigma,
                         force_fused=config.force_fused, **kw)
     return zeta, nu2, lam2
 

@@ -218,7 +218,8 @@ def e_step(
     theta = theta_from(state.lam, logw, config)
     sumtheta = calculate_sumtheta(theta, X, config)
     zeta, nu, lam = solve_eta(
-        state.lam, state.nu, N, sumtheta, state.mu, state.invSigma, config
+        state.lam, state.nu, N, sumtheta, state.mu, state.invSigma, config,
+        lam_prev=state.lam_pre,
     )
     return (
         state._replace(zeta=zeta, lam_pre=state.lam, logw_pre=logw, nu=nu, lam=lam),
@@ -248,7 +249,8 @@ def e_step_moments(
         state.lam, logw, X, config, want_scatter
     )
     zeta, nu, lam = solve_eta(
-        state.lam, state.nu, N, sumtheta, state.mu, state.invSigma, config
+        state.lam, state.nu, N, sumtheta, state.mu, state.invSigma, config,
+        lam_prev=state.lam_pre,
     )
     return (
         state._replace(zeta=zeta, lam_pre=state.lam, logw_pre=logw, nu=nu, lam=lam),

@@ -486,3 +486,125 @@ class TestF32CaviNewtonBudget:
             return np.concatenate([np.asarray(p) for p in t.props], axis=1)
 
         np.testing.assert_allclose(run(None), run(7), rtol=1e-3, atol=1e-5)
+
+
+class TestLambdaExtrapWarmStart:
+    """Pins the secant-extrapolated λ warm start (CTMBaseConfig.lambda_extrap):
+    the fit loops may hand the λ maximizer the predictor
+    λ_t + clip(c·(λ_t − λ_{t-1}), ±4) instead of λ_t. Only the solve's
+    *initial point* changes — the maximizer is monotone from any start —
+    so the fit must land on the same optimum, and with lambda_extrap unset
+    (the default) the initial point must be exactly λ_t."""
+
+    X = [
+        [np.array([[1, 4], [2, 2]]), np.array([[1, 3], [3, 2]])],
+        [np.array([[2, 2], [1, 5]]), np.array([[1, 2], [2, 1]])],
+    ]
+
+    def _spy_lam0(self, monkeypatch):
+        """Record every initial point handed to solve_lambda alongside the
+        λ solve_eta was called with, so the start-point contract can be
+        asserted structurally (the tiny fixture converges identically from
+        either start)."""
+        from multimodalmusig_tpu.models import ctm_base
+
+        calls = []
+        orig_solve_eta = ctm_base.solve_eta
+        orig_solve_lambda = ctm_base.solve_lambda
+        current = {}
+
+        def spy_eta(lam, *a, **kw):
+            current["lam"] = lam
+            current["lam_prev"] = kw.get("lam_prev")
+            return orig_solve_eta(lam, *a, **kw)
+
+        def spy_lambda(lam0, *a, **kw):
+            calls.append((current.get("lam"), current.get("lam_prev"), lam0))
+            return orig_solve_lambda(lam0, *a, **kw)
+
+        # ctm_base.solve_eta resolves solve_lambda through its module
+        # globals; the models resolve solve_eta the same way, so patch both
+        # in ctm_base AND in the model modules that imported the name
+        from multimodalmusig_tpu.models import immctm, mmctm
+
+        monkeypatch.setattr(ctm_base, "solve_lambda", spy_lambda)
+        monkeypatch.setattr(ctm_base, "solve_eta", spy_eta)
+        monkeypatch.setattr(mmctm, "solve_eta", spy_eta)
+        monkeypatch.setattr(immctm, "solve_eta", spy_eta)
+        jax.clear_caches()  # the extrap coefficient resolves at trace time
+        return calls
+
+    def _fit(self, dtype, lambda_extrap=None, maxiter=6):
+        import dataclasses
+
+        from multimodalmusig_tpu.models.mmctm import MMCTM
+
+        m = MMCTM([2, 2], [0.1, 0.1], self.X, dtype=dtype)
+        if lambda_extrap is not None:
+            m.config = dataclasses.replace(m.config, lambda_extrap=lambda_extrap)
+        m.fit(maxiter=maxiter)
+        return np.asarray(m.ll)
+
+    def test_default_start_is_identity(self, monkeypatch):
+        calls = self._spy_lam0(monkeypatch)
+        self._fit(jnp.float32, maxiter=3)
+        assert calls
+        for lam, _, lam0 in calls:
+            assert lam0 is lam  # unset extrap must not touch the start point
+        jax.clear_caches()
+
+    def test_extrap_start_matches_clipped_secant(self, monkeypatch):
+        calls = self._spy_lam0(monkeypatch)
+        self._fit(jnp.float32, lambda_extrap=1.0, maxiter=4)
+        assert calls
+        # The spy captured tracers, so the secant arithmetic can't be
+        # re-evaluated here; assert the structural contract instead: with
+        # extrap set and lam_prev supplied, the start point is a derived
+        # value, not the incoming λ.
+        saw_extrap = False
+        for lam, lam_prev, lam0 in calls:
+            if lam_prev is not None:
+                assert lam0 is not lam
+                saw_extrap = True
+        assert saw_extrap
+        jax.clear_caches()
+
+    def test_extrap_reaches_the_same_optimum(self):
+        base = self._fit(jnp.float64, maxiter=12)
+        ext = self._fit(jnp.float64, lambda_extrap=1.0, maxiter=12)
+        np.testing.assert_allclose(base, ext, rtol=1e-6)
+
+    def test_extrap_clip_bounds_the_step(self):
+        """The per-coordinate clip: a huge previous-iterate swing cannot
+        move the start more than ±4 in any coordinate (which would overflow
+        exp(λ) in f32 in the solver's first gradient)."""
+        import dataclasses
+
+        from multimodalmusig_tpu.models import ctm_base
+        from multimodalmusig_tpu.models.mmctm import MMCTM
+
+        m = MMCTM([2, 2], [0.1, 0.1], self.X, dtype=jnp.float64)
+        cfg = dataclasses.replace(m.config, lambda_extrap=1.0)
+        captured = {}
+        orig = ctm_base.solve_lambda
+
+        def spy(lam0, *a, **kw):
+            captured["lam0"] = lam0
+            return orig(lam0, *a, **kw)
+
+        lam = jnp.zeros((4, 4), jnp.float64)
+        lam_prev = jnp.full((4, 4), -100.0, jnp.float64)  # swing of +100
+        nu = jnp.ones_like(lam)
+        N = jnp.full((4, 2), 10.0, jnp.float64)  # (D, M) per-modality counts
+        sumtheta = jnp.ones_like(lam)
+        mu = jnp.zeros((4,), jnp.float64)
+        invSigma = jnp.eye(4, dtype=jnp.float64)
+        try:
+            ctm_base.solve_lambda = spy
+            with jax.disable_jit():
+                ctm_base.solve_eta(
+                    lam, nu, N, sumtheta, mu, invSigma, cfg, lam_prev=lam_prev
+                )
+        finally:
+            ctm_base.solve_lambda = orig
+        np.testing.assert_array_equal(np.asarray(captured["lam0"]), 4.0)
