@@ -459,8 +459,10 @@ def spd_inverse(Sigma: jnp.ndarray) -> jnp.ndarray:
     unmeasured win — bigger matrices keep cho_factor/cho_solve."""
     if Sigma.shape[-1] <= 20:
         return _spd_inverse_unrolled(Sigma)
+    n = Sigma.shape[-1]
+    eye = jnp.broadcast_to(jnp.eye(n, dtype=Sigma.dtype), Sigma.shape)
     chol = jax.scipy.linalg.cho_factor(Sigma)
-    return jax.scipy.linalg.cho_solve(chol, jnp.eye(Sigma.shape[0], dtype=Sigma.dtype))
+    return jax.scipy.linalg.cho_solve(chol, eye)
 
 
 def update_Sigma_mats(lam, nu, mu, D):

@@ -380,3 +380,43 @@ class TestTransformWeightSemantics:
                 np.log(np.asarray(phi[m])).T,
                 rtol=1e-6,
             )
+
+
+class TestSpdInverse:
+    """Both spd_inverse schedules (models/ctm_base.py): the unrolled
+    static-shape Cholesky inverse for n <= 20 (the mutation-signature sizes)
+    and the cho_factor/cho_solve fallback above it, which the MK=24
+    budget-robustness workload exercises (tools/budget_robustness.py)."""
+
+    def _spd(self, rng, n, batch=()):
+        A = rng.standard_normal(batch + (n, n))
+        S = A @ np.swapaxes(A, -1, -2) + n * np.eye(n)
+        return S
+
+    def test_unrolled_matches_numpy(self):
+        from multimodalmusig_tpu.models.ctm_base import spd_inverse
+
+        rng = np.random.default_rng(0)
+        S = self._spd(rng, 14)
+        out = np.asarray(spd_inverse(jnp.asarray(S)))
+        np.testing.assert_allclose(out, np.linalg.inv(S), rtol=1e-9, atol=1e-12)
+
+    def test_fallback_matches_numpy(self):
+        from multimodalmusig_tpu.models.ctm_base import spd_inverse
+
+        rng = np.random.default_rng(1)
+        S = self._spd(rng, 24)
+        out = np.asarray(spd_inverse(jnp.asarray(S)))
+        np.testing.assert_allclose(out, np.linalg.inv(S), rtol=1e-9, atol=1e-12)
+
+    def test_both_schedules_accept_batch_dims(self):
+        # The M-step calls spd_inverse per restart lane; leading batch axes
+        # must work on BOTH schedules (the fallback once built eye from
+        # shape[0] — the batch axis — instead of shape[-1]).
+        from multimodalmusig_tpu.models.ctm_base import spd_inverse
+
+        rng = np.random.default_rng(2)
+        for n in (14, 24):
+            S = self._spd(rng, n, batch=(3,))
+            out = np.asarray(spd_inverse(jnp.asarray(S)))
+            np.testing.assert_allclose(out, np.linalg.inv(S), rtol=1e-9, atol=1e-12)
