@@ -146,6 +146,36 @@ ALPHA_LOWER_BOUND = 1e-7
 # 1/2..2^-12, and 0 (reject). argmax over candidates keeps ascent monotone.
 _N_BACKTRACK = 13
 
+# Trace-time default for `_loop`'s unroll when the caller passes None; tools
+# (pallas_fit_ab.py arm2, unroll_ab.py) flip it pre-trace in a subprocess to
+# reproduce the measurement below. Not a user knob.
+_UNROLL_DEFAULT = False
+
+
+def _loop(n, body, init, unroll):
+    """fori_loop with an opt-in trace-time unroll (`unroll=True`).
+
+    `body(i, carry) -> carry` exactly as lax.fori_loop. Unrolling emits the
+    same ops in the same order, so results are bit-identical to the While
+    lowering (measured, tools/unroll_ab.py); only scheduling/fusion differ.
+
+    Default is the While lowering: the "While carries round-trip HBM, so
+    unrolling the tiny f32 budgets (Newton 3 × CG 4) must win" hypothesis
+    was measured FALSE on the v5e — the fully-unrolled solve makes the
+    100-restart BRCA fit 1.6× SLOWER (0.57 s vs 0.36 s, tools/
+    pallas_fit_ab.py arm0-vs-arm2, round 5): inside the outer CAVI
+    while_loop XLA schedules the compact While bodies better than one
+    straight-line graph ~16× their size. The switch stays for
+    reproducibility of that measurement and for future backends."""
+    if unroll is None:
+        unroll = _UNROLL_DEFAULT
+    if unroll:
+        carry = init
+        for i in range(n):
+            carry = body(i, carry)
+        return carry
+    return jax.lax.fori_loop(0, n, body, init)
+
 
 def _step_scales(dtype):
     over = jnp.asarray([8.0, 4.0, 2.0], dtype=dtype)
@@ -188,7 +218,7 @@ def _batched_lambda_objective(lam, nu, Ndivzeta, sumtheta, mu, invSigma):
     return quad + jnp.sum(lam * sumtheta, axis=-1) - jnp.sum(Ndivzeta * Eeta, axis=-1)
 
 
-def _cg_solve(w, g, invSigma, n_iter):
+def _cg_solve(w, g, invSigma, n_iter, unroll=None):
     """Batched Jacobi-preconditioned CG for (Σ⁻¹ + diag(w)) δ = g over (B, MK)
     without ever materializing the (B, MK, MK) Hessians: each matvec is one
     shared-matrix contraction plus an elementwise product. On TPU this beats
@@ -226,14 +256,14 @@ def _cg_solve(w, g, invSigma, n_iter):
         p = z + beta[..., None] * p
         return x, r, z, p, rz_new
 
-    x, *_ = jax.lax.fori_loop(0, n_iter, body, (x, r, z, p, rz))
+    x, *_ = _loop(n_iter, body, (x, r, z, p, rz), unroll)
     return x
 
 
-@partial(jax.jit, static_argnames=("n_iter", "cg_iter", "polish_iter"))
+@partial(jax.jit, static_argnames=("n_iter", "cg_iter", "polish_iter", "unroll"))
 def maximize_lambda(
     lam0, nu, Ndivzeta, sumtheta, mu, invSigma, n_iter: int = 7,
-    cg_iter: int = None, polish_iter: int = None,
+    cg_iter: int = None, polish_iter: int = None, unroll: bool = None,
 ):
     """Batched λ solve: lam0/nu/Ndivzeta/sumtheta are (B, MK); μ, Σ⁻¹ shared.
 
@@ -286,7 +316,7 @@ def maximize_lambda(
         diff = lam - mu
         Sdiff = _mv(diff, invSigma)
         g = -Sdiff + sumtheta - w
-        delta = _cg_solve(w, g, invSigma, cg_iter)
+        delta = _cg_solve(w, g, invSigma, cg_iter, unroll)
 
         Sdelta = _mv(delta, invSigma)
         q0 = jnp.sum(diff * Sdiff, axis=-1)
@@ -331,7 +361,7 @@ def maximize_lambda(
     def polish(_, lam):
         w = Ndivzeta * jnp.exp(lam + 0.5 * nu)
         g = -_mv(lam - mu, invSigma) + sumtheta - w
-        delta = _cg_solve(w, g, invSigma, cg_iter)
+        delta = _cg_solve(w, g, invSigma, cg_iter, unroll)
         # trust region: scale (never re-direct) oversized deltas — see _POLISH_MAX_STEP
         dmax = jnp.max(jnp.abs(delta), axis=-1, keepdims=True)
         delta = delta * jnp.minimum(1.0, _POLISH_MAX_STEP / jnp.maximum(dmax, 1e-30))
@@ -341,8 +371,8 @@ def maximize_lambda(
 
     if polish_iter is None:
         polish_iter = LAMBDA_POLISH_ITERS
-    lam = jax.lax.fori_loop(0, n_iter, body, lam0)
-    return jax.lax.fori_loop(0, polish_iter, polish, lam)
+    lam = _loop(n_iter, body, lam0, unroll)
+    return _loop(polish_iter, polish, lam, unroll)
 
 
 # ---------------------------------------------------------------------------
@@ -371,8 +401,9 @@ def nu_grad(nu, lam, Ndivzeta, invSigma_diag):
     return -0.5 * invSigma_diag - 0.5 * Ndivzeta * Eeta + 0.5 / nu
 
 
-@partial(jax.jit, static_argnames=("n_iter",))
-def maximize_nu(nu0, lam, Ndivzeta, invSigma_diag, n_iter: int = NU_FP_ITERS):
+@partial(jax.jit, static_argnames=("n_iter", "unroll"))
+def maximize_nu(nu0, lam, Ndivzeta, invSigma_diag, n_iter: int = NU_FP_ITERS,
+                unroll: bool = None):
     """Elementwise ν maximization; any batch shape, all args broadcast.
 
     Replaces the MK-dimensional NLopt solve at src/MMCTM.jl:156-170. The
@@ -406,8 +437,8 @@ def maximize_nu(nu0, lam, Ndivzeta, invSigma_diag, n_iter: int = NU_FP_ITERS):
         jnp.shape(nu0), jnp.shape(lam), jnp.shape(Ndivzeta), jnp.shape(invSigma_diag)
     )
     nu = jnp.broadcast_to(jnp.asarray(nu0), shape)
-    nu = jax.lax.fori_loop(0, n_iter, fp, nu)
-    return jax.lax.fori_loop(0, _N_POLISH, polish, nu)
+    nu = _loop(n_iter, fp, nu, unroll)
+    return _loop(_N_POLISH, polish, nu, unroll)
 
 
 # ---------------------------------------------------------------------------

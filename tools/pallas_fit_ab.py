@@ -22,9 +22,20 @@ def run(arm, restarts):
     # 0.36 s lambda-only on the R=100 BRCA fit, BENCH_LOCAL pallas_ab_r5 —
     # and the kernel lives on in tools/pallas_experiments/estep_kernel.py.)
     # Env gates are trace-time, so each arm is its own subprocess.
-    os.environ["MUSIG_PALLAS"] = "0" if arm == "arm0" else "1"
+    # arm2 = XLA with the solver inner loops UNROLLED at trace time instead
+    # of lowered to While ops (ops/solvers.py _loop). Measured round 5:
+    # unrolling LOSES 1.6x end-to-end (0.57 s vs arm0's 0.36 s at R=100) —
+    # XLA schedules the compact While bodies better than the straight-line
+    # graph — which is why _UNROLL_DEFAULT is False. The flip is trace-time,
+    # so setting it before any trace in this subprocess is a sound arm.
+    os.environ["MUSIG_PALLAS"] = "1" if arm == "arm1" else "0"
     import jax
     import jax.numpy as jnp
+
+    if arm == "arm2":
+        from multimodalmusig_tpu.ops import solvers
+
+        solvers._UNROLL_DEFAULT = True
 
     from bench import load_counts_np
     from multimodalmusig_tpu.models.mmctm import MMCTMConfig
@@ -52,7 +63,7 @@ def main():
     # Each arm runs in its own subprocess: jax.jit caches compiled executables
     # by trace, and the MUSIG_PALLAS gate is evaluated at trace time — a
     # same-process A/B silently reuses the first arm's executable.
-    if len(sys.argv) > 2 and sys.argv[2] in ("arm0", "arm1"):
+    if len(sys.argv) > 2 and sys.argv[2] in ("arm0", "arm1", "arm2"):
         t, ll, it = run(sys.argv[2], int(sys.argv[1]))
         np.savez(f"/tmp/pallas_ab_{sys.argv[2]}.npz", t=t, ll=ll, it=it)
         return
@@ -60,7 +71,7 @@ def main():
     import subprocess
 
     restarts = int(sys.argv[1]) if len(sys.argv) > 1 else 100
-    arms = ("arm0", "arm1")
+    arms = ("arm0", "arm1", "arm2")
     for arm in arms:
         subprocess.run(
             [sys.executable, os.path.abspath(__file__), str(restarts), arm],
@@ -68,9 +79,13 @@ def main():
         )
     a0 = np.load("/tmp/pallas_ab_arm0.npz")
     a1 = np.load("/tmp/pallas_ab_arm1.npz")
+    a2 = np.load("/tmp/pallas_ab_arm2.npz")
     t0, ll0, it0 = float(a0["t"]), a0["ll"], a0["it"]
     t1, ll1, it1 = float(a1["t"]), a1["ll"], a1["it"]
-    print(f"xla   : {t0:.2f}s  ({restarts / t0:.1f} restarts/s)")
+    t2 = float(a2["t"])
+    print(f"xla (unrolled): {t0:.2f}s  ({restarts / t0:.1f} restarts/s)")
+    print(f"xla (fori)    : {t2:.2f}s  ({restarts / t2:.1f} restarts/s)  "
+          f"unroll speedup {t2 / t0:.2f}x")
     print(f"pallas: {t1:.2f}s  ({restarts / t1:.1f} restarts/s)  speedup {t0 / t1:.2f}x")
     print(f"iters equal: {np.array_equal(it0, it1)}  "
           f"(med {np.median(it0):.0f} vs {np.median(it1):.0f})")
