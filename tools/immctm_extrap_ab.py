@@ -65,10 +65,12 @@ def main(argv):
         )
         t0 = time.perf_counter()
         r = run(keys)
-        # np.asarray (device_get), NOT block_until_ready: on the remote axon
-        # backend block_until_ready returns before execution completes (walls
-        # read 0.0); fetching a result is the reliable barrier the other
-        # bench tools use.
+        # np.asarray (device_get) as the barrier. A block_until_ready arm
+        # here once read 0.0 and was blamed on the axon backend; the direct
+        # measurement (tools/sync_check.py) shows block IS a compute
+        # barrier on arrays — the 0.0 came from blocking on a result pytree
+        # whose leaves were already host-side. Fetching the small ll array
+        # is correct either way (compute + a few-KB transfer).
         np.asarray(r.ll)
         return time.perf_counter() - t0, r
 
