@@ -23,7 +23,13 @@ from .models.mmctm import (
     predict_modality_eta as mmctm_predict_modality_eta,
     transform as mmctm_transform,
 )
-from .parallel.restarts import fit_mmctm_restarts, suggest_compact_schedule
+from .parallel.restarts import (
+    fit_ilda_restarts,
+    fit_immctm_restarts,
+    fit_lda_restarts,
+    fit_mmctm_restarts,
+    suggest_compact_schedule,
+)
 from .utils.formatting import (
     format_counts_ctm,
     format_counts_lda,
@@ -50,6 +56,9 @@ __all__ = [
     "fit_heldout",
     "predict_modality_eta",
     "fit_mmctm_restarts",
+    "fit_lda_restarts",
+    "fit_ilda_restarts",
+    "fit_immctm_restarts",
     "suggest_compact_schedule",
     "save_model",
     "load_model",

@@ -14,3 +14,18 @@ def test_version_single_sourced():
     assert "version" not in proj
     assert "version" in proj["dynamic"]
     assert mm.__version__ == "0.3.0"
+
+
+def test_public_surface_resolves():
+    """Every name in __all__ is importable from the top level — the README's
+    advertised surface (incl. the family best-of-N fitters, exported
+    top-level since round 5) can't silently drift from the package."""
+    for name in mm.__all__:
+        assert hasattr(mm, name), name
+    for name in (
+        "fit_lda_restarts",
+        "fit_ilda_restarts",
+        "fit_immctm_restarts",
+        "fit_mmctm_restarts",
+    ):
+        assert name in mm.__all__

@@ -117,7 +117,10 @@ def main():
             "BENCH_LOCAL.json")
         with open(path) as f:
             data = json.load(f)
-        data["families_bench_r5_auto" if args.auto else "families_bench_r5"] = out
+        key = "families_bench_r5_auto" if args.auto else "families_bench_r5"
+        if R != 100:
+            key += f"_r{R}"  # don't clobber the R=100 record
+        data[key] = out
         with open(path, "w") as f:
             json.dump(data, f, indent=1)
 
