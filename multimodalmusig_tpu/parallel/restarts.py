@@ -857,21 +857,49 @@ def _shmap_family_restarts(runner, keys, devices):
     return result
 
 
+_SCHEDULE_MEMO: dict = {}
+_SCHEDULE_MEMO_MAX = 64
+
+
 def _derive_auto_schedule(iters, t_warm, production_restarts, maxiter,
                           max_boundaries):
     """Schedule derivation shared by the folded-pilot auto fits (MMCTM's
     fit_restarts_auto and the family fitters' compact_schedule="auto"):
     lane-iters/s from the timed pilot execution, one cached boundary-cost
-    calibration, then the margin-aware exact DP. Returns (schedule, info)."""
+    calibration, then the margin-aware exact DP. Returns (schedule, info).
+
+    The derived schedule is memoized per derivation signature — the pilot
+    iteration distribution plus the DP's static inputs (everything except
+    the measured `t_warm`). The pilot's iteration counts are deterministic
+    given (keys, data, config), but `t_warm` is a wall measurement: its
+    run-to-run noise can flip the DP to a *different* schedule on a repeat
+    of the identical fit, and every new schedule means new phase bucket
+    shapes, i.e. fresh XLA compiles inside a production run (measured on
+    the R=1000 family bench: a "warm" repeat re-derived a new schedule and
+    paid ~30 s of compile that looked like fit time). First derivation in
+    the process wins; the safe degenerate case (a cold first call
+    under-measuring the rate) declines boundaries, which is just the plain
+    unchunked fit. FIFO-capped like _PILOT_EXEC_CACHE."""
     P = int(iters.size)
+    sig = (
+        iters.tobytes(), str(iters.dtype), int(production_restarts),
+        int(maxiter), int(max_boundaries),
+    )
+    memo = _SCHEDULE_MEMO.get(sig)
     rate = P * float(iters.max()) / max(t_warm, 1e-9)
     t_boundary = measure_boundary_seconds_cached()
     B = t_boundary * rate
-    schedule = suggest_compact_schedule(
-        iters, maxiter=maxiter, boundary_cost_lane_iters=B,
-        max_boundaries=max_boundaries,
-        production_restarts=production_restarts,
-    )
+    if memo is not None:
+        schedule = memo
+    else:
+        schedule = tuple(suggest_compact_schedule(
+            iters, maxiter=maxiter, boundary_cost_lane_iters=B,
+            max_boundaries=max_boundaries,
+            production_restarts=production_restarts,
+        ))
+        _SCHEDULE_MEMO[sig] = schedule
+        while len(_SCHEDULE_MEMO) > _SCHEDULE_MEMO_MAX:
+            _SCHEDULE_MEMO.pop(next(iter(_SCHEDULE_MEMO)))
     info = {
         "pilot_restarts": P,
         "pilot_iters_max": int(iters.max()),
@@ -881,6 +909,7 @@ def _derive_auto_schedule(iters, t_warm, production_restarts, maxiter,
         "boundary_s": t_boundary,
         "boundary_cost_lane_iters": B,
         "schedule": tuple(schedule),
+        "schedule_memo_hit": memo is not None,
     }
     return tuple(schedule), info
 

@@ -268,3 +268,42 @@ def test_two_stage_fit_auto_matches_explicit(mmctm_fixture):
         np.asarray(s1_p.ll), np.asarray(s1_a.ll), rtol=1e-12, atol=0)
     np.testing.assert_allclose(
         np.asarray(best_p.ll), np.asarray(best_a.ll), rtol=1e-12, atol=0)
+
+
+def test_derive_auto_schedule_is_memoized_against_timing_noise():
+    """The derived schedule must not depend on the run-to-run noise of the
+    timed pilot wall: a repeat of the identical fit (same pilot iteration
+    distribution, same DP inputs) must reuse the first derivation, or the
+    DP can flip to a different schedule whose phase bucket shapes force
+    fresh XLA compiles inside a production run (measured: ~30 s of compile
+    billed as fit time on an R=1000 repeat)."""
+    from multimodalmusig_tpu.parallel import restarts as R
+
+    iters = np.random.default_rng(7).integers(40, 300, 64).astype(np.int32)
+    s1, info1 = R._derive_auto_schedule(iters, 0.5, 936, 1000, 3)
+    assert not info1["schedule_memo_hit"]
+    # 40x slower "measured" pilot — without the memo this boundary charge
+    # would decline every boundary
+    s2, info2 = R._derive_auto_schedule(iters, 20.0, 936, 1000, 3)
+    assert info2["schedule_memo_hit"]
+    assert s2 == s1
+    # the measurements themselves still report the current call's values
+    assert info2["pilot_warm_s"] == 20.0
+    # different DP inputs derive fresh
+    s3, info3 = R._derive_auto_schedule(iters, 20.0, 100, 1000, 3)
+    assert not info3["schedule_memo_hit"]
+    # a different pilot distribution derives fresh too
+    iters_b = np.random.default_rng(8).integers(40, 300, 64).astype(np.int32)
+    _, info4 = R._derive_auto_schedule(iters_b, 0.5, 936, 1000, 3)
+    assert not info4["schedule_memo_hit"]
+
+
+def test_schedule_memo_fifo_eviction():
+    from multimodalmusig_tpu.parallel import restarts as R
+
+    R._SCHEDULE_MEMO.clear()
+    rng = np.random.default_rng(9)
+    for i in range(R._SCHEDULE_MEMO_MAX + 5):
+        iters = rng.integers(40, 300, 16).astype(np.int32)
+        R._derive_auto_schedule(iters, 0.5, 100 + i, 500, 2)
+    assert len(R._SCHEDULE_MEMO) == R._SCHEDULE_MEMO_MAX
