@@ -301,25 +301,12 @@ def auto_compact_schedule(
     result = compiled(keys, X, alpha)
     iters = np.asarray(jax.device_get(result.n_iters))
     t_warm = time.perf_counter() - t0
-    # unchunked device work = every lane runs until the slowest terminates
-    rate = pilot_R * float(iters.max()) / max(t_warm, 1e-9)
-    t_boundary = measure_boundary_seconds()
-    B = t_boundary * rate
-    schedule = suggest_compact_schedule(
-        iters, maxiter=maxiter, boundary_cost_lane_iters=B,
-        max_boundaries=max_boundaries, production_restarts=int(restarts),
+    # shared derivation: cached boundary calibration + schedule memo (the
+    # memo keeps repeat derivations from flipping schedules on pilot-wall
+    # timing noise, which would force fresh phase-executable compiles)
+    return _derive_auto_schedule(
+        iters, t_warm, int(restarts), maxiter, max_boundaries
     )
-    info = {
-        "pilot_restarts": pilot_R,
-        "pilot_iters_max": int(iters.max()),
-        "pilot_iters_median": float(np.median(iters)),
-        "pilot_warm_s": t_warm,
-        "lane_iters_per_s": rate,
-        "boundary_s": t_boundary,
-        "boundary_cost_lane_iters": B,
-        "schedule": tuple(schedule),
-    }
-    return tuple(schedule), info
 
 
 def dense_rank(values: jnp.ndarray) -> jnp.ndarray:
