@@ -38,3 +38,11 @@ F32_FULL_BUDGETS = os.environ.get("MUSIG_F32_FULL_BUDGETS", "0") == "1"
 # (ctm_base.theta_moments — exact same math on a matmul schedule; default
 # on everywhere). The off switch exists for A/B measurement only.
 THETA_FACTORIZED = os.environ.get("MUSIG_THETA_FACTORIZED", "1") == "1"
+
+# MUSIG_DEVICE_RESCORE: where the exact-f64 selection re-scoring runs.
+# "auto" (default) = on the accelerator when the default backend is not CPU
+# (parallel/rescore_device.py — same f64 math, no ~35 MB state fetch over
+# the device tunnel and no single-core host log storm), on the host numpy
+# path otherwise (CPU fits gain nothing from a jitted scorer and the test
+# suite churns many tiny shapes). "1"/"0" force the device/host path.
+DEVICE_RESCORE = os.environ.get("MUSIG_DEVICE_RESCORE", "auto")

@@ -41,6 +41,10 @@ __all__ = [
     "rescore_immctm_f64",
     "rescore_lda_f64",
     "rescore_ilda_f64",
+    "rescore_mmctm",
+    "rescore_immctm",
+    "rescore_lda",
+    "rescore_ilda",
     "pick_optimal_modality_restarts_np",
     "pick_optimal_restart_np",
     "dense_rank_np",
@@ -260,6 +264,116 @@ def pick_optimal_restart_np(ll: np.ndarray) -> int:
         np.all(np.isfinite(ll), axis=1), ranks.mean(axis=1), np.inf
     )
     return int(np.argmin(mean_rank))
+
+
+# ---------------------------------------------------------------------------
+# Executor dispatch: identical f64 scores, run where they're cheapest.
+# States arrive device-resident from the fits; the host path (above) fetches
+# them and scores on the CPU, the device path (parallel/rescore_device.py)
+# scores them in emulated f64 where they already live and fetches only the
+# (n, M) score matrix — measured ~2 s faster per best-of-1000 BRCA selection
+# on the remote-TPU setup (35 MB fetch + ~79M single-core host logs avoided).
+# The two agree to f64 reduction-order roundoff (~1e-13,
+# tests/test_rescore_device.py), five orders below the winner margins.
+# ---------------------------------------------------------------------------
+
+
+def _use_device_rescore() -> bool:
+    from ..ops import flags
+
+    if flags.DEVICE_RESCORE in ("0", "1"):
+        return flags.DEVICE_RESCORE == "1"
+    try:
+        import jax
+
+        return jax.default_backend() != "cpu"
+    except Exception:
+        return False
+
+
+_DEVICE_RESCORE_FAILED = False
+
+
+def _dispatch(device_fn, host_fn, args, host_args):
+    """Run the device scorer when enabled, falling back to the host path
+    (once, with a warning) if the backend rejects emulated f64."""
+    global _DEVICE_RESCORE_FAILED
+    if _use_device_rescore() and not _DEVICE_RESCORE_FAILED:
+        try:
+            return device_fn(*args)
+        except Exception as e:  # pragma: no cover - backend-dependent
+            import warnings
+
+            _DEVICE_RESCORE_FAILED = True
+            warnings.warn(
+                f"device f64 re-scoring failed ({type(e).__name__}: {e}); "
+                "falling back to host re-scoring for this process"
+            )
+    return host_fn(*host_args())
+
+
+def rescore_mmctm(lam, gamma, X, config, lanes=None) -> np.ndarray:
+    """rescore_mmctm_f64 on whichever executor _use_device_rescore picks;
+    `lam`/`gamma` may be device-resident (no host fetch on the device path)."""
+    from .rescore_device import rescore_mmctm_f64_dev
+
+    def host_args():
+        import jax
+
+        lam_h, gam_h = jax.device_get((lam, tuple(gamma)))
+        return lam_h, gam_h, [np.asarray(x) for x in X], config, lanes
+
+    return _dispatch(
+        rescore_mmctm_f64_dev, rescore_mmctm_f64,
+        (lam, gamma, X, config, lanes), host_args,
+    )
+
+
+def rescore_immctm(lam, gamma, X, F, config, lanes=None) -> np.ndarray:
+    """rescore_immctm_f64 on whichever executor _use_device_rescore picks."""
+    from .rescore_device import rescore_immctm_f64_dev
+
+    def host_args():
+        import jax
+
+        lam_h, gam_h = jax.device_get((lam, tuple(tuple(g) for g in gamma)))
+        return lam_h, gam_h, [np.asarray(x) for x in X], F, config, lanes
+
+    return _dispatch(
+        rescore_immctm_f64_dev, rescore_immctm_f64,
+        (lam, gamma, X, F, config, lanes), host_args,
+    )
+
+
+def rescore_lda(gamma, lam, X, lanes=None) -> np.ndarray:
+    """rescore_lda_f64 on whichever executor _use_device_rescore picks."""
+    from .rescore_device import rescore_lda_f64_dev
+
+    def host_args():
+        import jax
+
+        gam_h, lam_h = jax.device_get((gamma, lam))
+        return gam_h, lam_h, np.asarray(X), lanes
+
+    return _dispatch(
+        rescore_lda_f64_dev, rescore_lda_f64, (gamma, lam, X, lanes), host_args
+    )
+
+
+def rescore_ilda(gamma, lam, X, F, lanes=None) -> np.ndarray:
+    """rescore_ilda_f64 on whichever executor _use_device_rescore picks."""
+    from .rescore_device import rescore_ilda_f64_dev
+
+    def host_args():
+        import jax
+
+        gam_h, lam_h = jax.device_get((gamma, tuple(lam)))
+        return gam_h, lam_h, np.asarray(X), F, lanes
+
+    return _dispatch(
+        rescore_ilda_f64_dev, rescore_ilda_f64, (gamma, lam, X, F, lanes),
+        host_args,
+    )
 
 
 def shortlist_lanes(

@@ -1213,16 +1213,16 @@ def select_modality_winners_f64(stage1, X, config):
     (best_m (M,) np.int64, info dict)."""
     from .rescore import (
         pick_optimal_modality_restarts_np,
-        rescore_mmctm_f64,
+        rescore_mmctm,
         shortlist_lanes,
     )
 
     ll_f32 = np.asarray(jax.device_get(stage1.ll), np.float64)
     cand = shortlist_lanes(ll_f32)
-    lam, gamma = jax.device_get(
-        _gather_tree((stage1.state.lam, stage1.state.gamma), jnp.asarray(cand))
+    lam, gamma = _gather_tree(
+        (stage1.state.lam, stage1.state.gamma), jnp.asarray(cand)
     )
-    ll64 = rescore_mmctm_f64(lam, gamma, X, config)
+    ll64 = rescore_mmctm(lam, gamma, X, config)
     best_m = cand[pick_optimal_modality_restarts_np(ll64)]
     info = {
         "rescored_lanes": cand,
@@ -1236,10 +1236,9 @@ def select_best_restart_f64(result, X, config):
     """Dense-rank pick (run_mmctm.jl:136-147) over EXACT float64 host
     re-scores of every lane's final state. Returns (best index, (R, M) f64
     ll matrix)."""
-    from .rescore import pick_optimal_restart_np, rescore_mmctm_f64
+    from .rescore import pick_optimal_restart_np, rescore_mmctm
 
-    lam, gamma = jax.device_get((result.state.lam, result.state.gamma))
-    ll64 = rescore_mmctm_f64(lam, gamma, X, config)
+    ll64 = rescore_mmctm(result.state.lam, result.state.gamma, X, config)
     return pick_optimal_restart_np(ll64), ll64
 
 
@@ -1584,12 +1583,12 @@ def fit_lda_restarts(
         result = scheduled(keys, _resolve_schedule(chunk_iters, compact_schedule))
 
     def _rescore(cand):
-        from .rescore import rescore_lda_f64
+        from .rescore import rescore_lda
 
-        gam, lam_ = jax.device_get(
-            _gather_tree((result.state.gamma, result.state.lam), jnp.asarray(cand))
+        gam, lam_ = _gather_tree(
+            (result.state.gamma, result.state.lam), jnp.asarray(cand)
         )
-        return rescore_lda_f64(gam, lam_, np.asarray(Xd))
+        return rescore_lda(gam, lam_, Xd)
 
     best = _best_scalar_ll_lane(result, _rescore, rescore_f64)
     sel = lane(result, best)
@@ -1660,12 +1659,12 @@ def fit_ilda_restarts(
         result = scheduled(keys, _resolve_schedule(chunk_iters, compact_schedule))
 
     def _rescore(cand):
-        from .rescore import rescore_ilda_f64
+        from .rescore import rescore_ilda
 
-        gam, lam_ = jax.device_get(
-            _gather_tree((result.state.gamma, result.state.lam), jnp.asarray(cand))
+        gam, lam_ = _gather_tree(
+            (result.state.gamma, result.state.lam), jnp.asarray(cand)
         )
-        return rescore_ilda_f64(gam, lam_, np.asarray(Xd), F)
+        return rescore_ilda(gam, lam_, Xd, F)
 
     best = _best_scalar_ll_lane(result, _rescore, rescore_f64)
     sel = lane(result, best)
@@ -1741,11 +1740,10 @@ def fit_immctm_restarts(
         result = scheduled(keys, _resolve_schedule(chunk_iters, compact_schedule))
 
     if rescore_f64:
-        from .rescore import pick_optimal_restart_np, rescore_immctm_f64
+        from .rescore import pick_optimal_restart_np, rescore_immctm
 
-        lam_, gam = jax.device_get((result.state.lam, result.state.gamma))
         best = pick_optimal_restart_np(
-            rescore_immctm_f64(lam_, gam, [np.asarray(x) for x in Xd], F, cfg)
+            rescore_immctm(result.state.lam, result.state.gamma, Xd, F, cfg)
         )
     else:
         best = int(pick_optimal_restart(result.ll))
