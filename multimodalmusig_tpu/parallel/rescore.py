@@ -294,14 +294,27 @@ def _use_device_rescore() -> bool:
 _DEVICE_RESCORE_FAILED = False
 
 
-def _dispatch(device_fn, host_fn, args, host_args):
-    """Run the device scorer when enabled, falling back to the host path
-    (once, with a warning) if the backend rejects emulated f64."""
+def _dispatch(device_call, host_call):
+    """Run the device scorer thunk when enabled, falling back to the host
+    thunk (once per process, with a warning) if the device module fails to
+    import or the backend rejects emulated f64. The import happens INSIDE
+    the guarded call so a broken jax install degrades to the pure-numpy
+    host path instead of crashing selection. When MUSIG_DEVICE_RESCORE=1
+    explicitly forces the device path, failures propagate — a forced
+    executor silently falling back would reinstate the multi-second host
+    overhead the flag exists to rule out. NOTE the guard cannot tell a
+    backend limitation from a caller bug (bad shapes raise here too); the
+    host re-run then raises the caller's actual error."""
     global _DEVICE_RESCORE_FAILED
     if _use_device_rescore() and not _DEVICE_RESCORE_FAILED:
+        from ..ops import flags
+
+        forced = flags.DEVICE_RESCORE == "1"
         try:
-            return device_fn(*args)
+            return device_call()
         except Exception as e:  # pragma: no cover - backend-dependent
+            if forced:
+                raise
             import warnings
 
             _DEVICE_RESCORE_FAILED = True
@@ -309,71 +322,80 @@ def _dispatch(device_fn, host_fn, args, host_args):
                 f"device f64 re-scoring failed ({type(e).__name__}: {e}); "
                 "falling back to host re-scoring for this process"
             )
-    return host_fn(*host_args())
+    return host_call()
 
 
 def rescore_mmctm(lam, gamma, X, config, lanes=None) -> np.ndarray:
     """rescore_mmctm_f64 on whichever executor _use_device_rescore picks;
     `lam`/`gamma` may be device-resident (no host fetch on the device path)."""
-    from .rescore_device import rescore_mmctm_f64_dev
 
-    def host_args():
+    def device_call():
+        from .rescore_device import rescore_mmctm_f64_dev
+
+        return rescore_mmctm_f64_dev(lam, gamma, X, config, lanes)
+
+    def host_call():
         import jax
 
         lam_h, gam_h = jax.device_get((lam, tuple(gamma)))
-        return lam_h, gam_h, [np.asarray(x) for x in X], config, lanes
+        return rescore_mmctm_f64(
+            lam_h, gam_h, [np.asarray(x) for x in X], config, lanes
+        )
 
-    return _dispatch(
-        rescore_mmctm_f64_dev, rescore_mmctm_f64,
-        (lam, gamma, X, config, lanes), host_args,
-    )
+    return _dispatch(device_call, host_call)
 
 
 def rescore_immctm(lam, gamma, X, F, config, lanes=None) -> np.ndarray:
     """rescore_immctm_f64 on whichever executor _use_device_rescore picks."""
-    from .rescore_device import rescore_immctm_f64_dev
 
-    def host_args():
+    def device_call():
+        from .rescore_device import rescore_immctm_f64_dev
+
+        return rescore_immctm_f64_dev(lam, gamma, X, F, config, lanes)
+
+    def host_call():
         import jax
 
         lam_h, gam_h = jax.device_get((lam, tuple(tuple(g) for g in gamma)))
-        return lam_h, gam_h, [np.asarray(x) for x in X], F, config, lanes
+        return rescore_immctm_f64(
+            lam_h, gam_h, [np.asarray(x) for x in X], F, config, lanes
+        )
 
-    return _dispatch(
-        rescore_immctm_f64_dev, rescore_immctm_f64,
-        (lam, gamma, X, F, config, lanes), host_args,
-    )
+    return _dispatch(device_call, host_call)
 
 
 def rescore_lda(gamma, lam, X, lanes=None) -> np.ndarray:
     """rescore_lda_f64 on whichever executor _use_device_rescore picks."""
-    from .rescore_device import rescore_lda_f64_dev
 
-    def host_args():
+    def device_call():
+        from .rescore_device import rescore_lda_f64_dev
+
+        return rescore_lda_f64_dev(gamma, lam, X, lanes)
+
+    def host_call():
         import jax
 
         gam_h, lam_h = jax.device_get((gamma, lam))
-        return gam_h, lam_h, np.asarray(X), lanes
+        return rescore_lda_f64(gam_h, lam_h, np.asarray(X), lanes)
 
-    return _dispatch(
-        rescore_lda_f64_dev, rescore_lda_f64, (gamma, lam, X, lanes), host_args
-    )
+    return _dispatch(device_call, host_call)
 
 
 def rescore_ilda(gamma, lam, X, F, lanes=None) -> np.ndarray:
     """rescore_ilda_f64 on whichever executor _use_device_rescore picks."""
-    from .rescore_device import rescore_ilda_f64_dev
 
-    def host_args():
+    def device_call():
+        from .rescore_device import rescore_ilda_f64_dev
+
+        return rescore_ilda_f64_dev(gamma, lam, X, F, lanes)
+
+    def host_call():
         import jax
 
         gam_h, lam_h = jax.device_get((gamma, tuple(lam)))
-        return gam_h, lam_h, np.asarray(X), F, lanes
+        return rescore_ilda_f64(gam_h, lam_h, np.asarray(X), F, lanes)
 
-    return _dispatch(
-        rescore_ilda_f64_dev, rescore_ilda_f64, (gamma, lam, X, F, lanes),
-        host_args,
-    )
+    return _dispatch(device_call, host_call)
 
 
 def shortlist_lanes(

@@ -147,8 +147,17 @@ def _take_pad_f64(tree, idx):
 
 def _chunk_indices(lanes: Optional[np.ndarray], R: int):
     """Padded lane-index array (multiple of LANE_CHUNK; tail repeats lane 0
-    so every chunk runs the same executable) and the true count."""
+    so every chunk runs the same executable) and the true count. Bounds are
+    checked HERE because jit's gather clamps/fills out-of-range indices
+    silently — the host path's `lam[lanes]` raises, and the two executors
+    must not differ on invalid input."""
     idx = np.arange(R) if lanes is None else np.asarray(lanes)
+    if idx.size and (idx.min() < -R or idx.max() >= R):
+        raise IndexError(
+            f"lane indices out of range for {R} restarts: "
+            f"[{idx.min()}, {idx.max()}]"
+        )
+    idx = np.where(idx < 0, idx + R, idx)
     n = int(idx.size)
     pad = _pad_lanes(max(n, 1))
     full = np.zeros(pad, np.int32)
@@ -183,7 +192,9 @@ def rescore_mmctm_f64_dev(lam, gamma, X, config, lanes=None) -> np.ndarray:
     idx, n = _chunk_indices(lanes, int(np.shape(lam)[0]))
     offsets, ks = config.offsets, tuple(config.K)
     with x64_scope():
-        Xs = tuple(jnp.asarray(np.asarray(x), jnp.float64) for x in X)
+        # astype, not np.asarray round-trip: device-resident X upcasts on
+        # device; only host-resident X pays an upload.
+        Xs = tuple(jnp.asarray(x).astype(jnp.float64) for x in X)
 
         def score(sub):
             lam_c, gam_c = sub
@@ -198,7 +209,7 @@ def rescore_immctm_f64_dev(lam, gamma, X, F, config, lanes=None) -> np.ndarray:
     offsets, ks = config.offsets, tuple(config.K)
     fidx = tuple(_feature_indices(Fm) for Fm in F)
     with x64_scope():
-        Xs = tuple(jnp.asarray(np.asarray(x), jnp.float64) for x in X)
+        Xs = tuple(jnp.asarray(x).astype(jnp.float64) for x in X)
 
         def score(sub):
             lam_c, gam_c = sub
@@ -212,7 +223,7 @@ def rescore_lda_f64_dev(gamma, lam, X, lanes=None) -> np.ndarray:
     """Device-f64 mirror of rescore.rescore_lda_f64. Returns (n,) f64."""
     idx, n = _chunk_indices(lanes, int(np.shape(gamma)[0]))
     with x64_scope():
-        Xd = jnp.asarray(np.asarray(X), jnp.float64)
+        Xd = jnp.asarray(X).astype(jnp.float64)
 
         def score(sub):
             gam_c, lam_c = sub
@@ -226,7 +237,7 @@ def rescore_ilda_f64_dev(gamma, lam, X, F, lanes=None) -> np.ndarray:
     idx, n = _chunk_indices(lanes, int(np.shape(gamma)[0]))
     fidx = _feature_indices(F)
     with x64_scope():
-        Xd = jnp.asarray(np.asarray(X), jnp.float64)
+        Xd = jnp.asarray(X).astype(jnp.float64)
 
         def score(sub):
             gam_c, lam_c = sub

@@ -1204,13 +1204,16 @@ def _stage2_from_graft(
 
 
 def select_modality_winners_f64(stage1, X, config):
-    """Per-modality stage-1 winners by EXACT float64 host re-scoring of the
+    """Per-modality stage-1 winners by EXACT float64 re-scoring of the
     final states (parallel/rescore.py — round-4 VERDICT weak #1: the in-fit
     f32 lls drift ~1e-2 across executables while winner margins sit at
-    ~2e-5, so selection must never read them). Only lanes within the
-    shortlist window of the f32 leaders are re-scored; the window provably
-    contains the true winners (rescore.shortlist_lanes). Returns
-    (best_m (M,) np.int64, info dict)."""
+    ~2e-5, so selection must never read them). The f64 scores run on the
+    host (numpy) or the accelerator (rescore_device.py, emulated f64) per
+    rescore.py's dispatch — the executors agree to ~1e-13, five orders
+    below the margins, so the pick is executor-independent. Only lanes
+    within the shortlist window of the f32 leaders are re-scored; the
+    window provably contains the true winners (rescore.shortlist_lanes).
+    Returns (best_m (M,) np.int64, info dict)."""
     from .rescore import (
         pick_optimal_modality_restarts_np,
         rescore_mmctm,
@@ -1233,9 +1236,9 @@ def select_modality_winners_f64(stage1, X, config):
 
 
 def select_best_restart_f64(result, X, config):
-    """Dense-rank pick (run_mmctm.jl:136-147) over EXACT float64 host
-    re-scores of every lane's final state. Returns (best index, (R, M) f64
-    ll matrix)."""
+    """Dense-rank pick (run_mmctm.jl:136-147) over EXACT float64 re-scores
+    of every lane's final state (host or device executor — rescore.py).
+    Returns (best index, (R, M) f64 ll matrix)."""
     from .rescore import pick_optimal_restart_np, rescore_mmctm
 
     ll64 = rescore_mmctm(result.state.lam, result.state.gamma, X, config)
@@ -1289,10 +1292,11 @@ def two_stage_fit(
 
     `rescore_f64` (default True) makes BOTH selections — the per-modality
     stage-1 winners and the stage-2 dense-rank pick — read exact float64
-    host re-scores of the final states instead of the in-fit f32 lls, so
-    the picks are a deterministic function of the states alone and cannot
-    flip with the executable mix (see parallel/rescore.py). False restores
-    the round-4 on-device f32 picks.
+    re-scores of the final states instead of the in-fit f32 lls, so the
+    picks are a deterministic function of the states alone and cannot
+    flip with the executable mix (see parallel/rescore.py; the scores run
+    host- or device-side per its dispatch, agreeing to ~1e-13). False
+    restores the round-4 on-device f32 picks.
     """
     X = tuple(X)
     k1, k2 = jax.random.split(key)
@@ -1508,9 +1512,10 @@ def _resolve_schedule(chunk_iters, compact_schedule):
 
 def _best_scalar_ll_lane(result, rescore_fn, rescore_f64: bool) -> int:
     """argmax-final-ll selection for the scalar-metric families (LDA/ILDA),
-    reading exact f64 host re-scores of the shortlisted final states by
-    default (see parallel/rescore.py; `rescore_fn(candidate_idx)` returns
-    their f64 lls). Non-finite lanes are masked either way."""
+    reading exact f64 re-scores of the shortlisted final states by default
+    (host or device executor — see parallel/rescore.py;
+    `rescore_fn(candidate_idx)` returns their f64 lls). Non-finite lanes
+    are masked either way."""
     ll_f32 = np.asarray(jax.device_get(result.ll), np.float64)
     if not rescore_f64:
         return int(np.argmax(np.where(np.isfinite(ll_f32), ll_f32, -np.inf)))
@@ -1531,7 +1536,8 @@ def fit_lda_restarts(
     devices: Optional[Sequence] = None,
 ):
     """Best-of-N LDA fitting: vmapped restarts, argmax final log-likelihood
-    (exact f64 host re-scores of the shortlisted final states by default —
+    (exact f64 re-scores of the shortlisted final states by default,
+    host- or device-executed —
     parallel/rescore.py). `chunk_iters` enables the host-chunked compacted
     driver; `compact_schedule` the 2-phase straggler fit (see fit_restarts),
     or "auto" for the zero-config folded-pilot derivation (the first
@@ -1609,7 +1615,8 @@ def fit_ilda_restarts(
     devices: Optional[Sequence] = None,
 ):
     """Best-of-N ILDA fitting: vmapped restarts, argmax final log-likelihood
-    (exact f64 host re-scores of the shortlisted final states by default —
+    (exact f64 re-scores of the shortlisted final states by default,
+    host- or device-executed —
     parallel/rescore.py). `chunk_iters` enables the host-chunked compacted
     driver; `compact_schedule` the 2-phase straggler fit (see fit_restarts),
     or "auto" for the zero-config folded-pilot derivation
@@ -1686,7 +1693,7 @@ def fit_immctm_restarts(
 ):
     """Best-of-N IMMCTM fitting: vmapped restarts; selection by min mean
     dense-rank of |ll| across modalities (the MMCTM CLI's criterion,
-    run_mmctm.jl:136-147), over exact f64 host re-scores of every lane's
+    run_mmctm.jl:136-147), over exact f64 re-scores of every lane's
     final state by default (the dense-rank criterion needs the full
     population ranked, so there is no shortlist here — parallel/rescore.py).
     `chunk_iters` enables the same host-chunked compacted driver as the

@@ -234,6 +234,76 @@ class TestDispatch:
         # the failure latches for the process
         assert rs._DEVICE_RESCORE_FAILED is True
 
+    def test_broken_device_module_falls_back_to_host(self, mmctm_states,
+                                                      monkeypatch):
+        """A rescore_device that fails to IMPORT (broken/old jax) must
+        degrade to the pure-numpy host path, not crash selection — the
+        import happens inside _dispatch's guarded thunk."""
+        import sys
+
+        model, result = mmctm_states
+        monkeypatch.setattr(rs, "_use_device_rescore", lambda: True)
+        monkeypatch.setattr(rs, "_DEVICE_RESCORE_FAILED", False)
+        monkeypatch.setitem(
+            sys.modules, "multimodalmusig_tpu.parallel.rescore_device", None
+        )  # `from ... import` on a None module raises ImportError
+        with pytest.warns(UserWarning, match="falling back"):
+            out = rs.rescore_mmctm(
+                np.asarray(result.state.lam),
+                [np.asarray(g) for g in result.state.gamma],
+                [np.asarray(x) for x in model.Xdense], model.config,
+            )
+        host = rs.rescore_mmctm_f64(
+            np.asarray(result.state.lam),
+            [np.asarray(g) for g in result.state.gamma],
+            [np.asarray(x) for x in model.Xdense], model.config,
+        )
+        np.testing.assert_allclose(out, host, rtol=0, atol=0)
+
+    def test_forced_device_failure_propagates(self, mmctm_states, monkeypatch):
+        """MUSIG_DEVICE_RESCORE=1 explicitly forces the device executor;
+        a silent host fallback would reinstate the overhead the flag rules
+        out, so failures must raise."""
+        from multimodalmusig_tpu.ops import flags
+
+        model, result = mmctm_states
+        monkeypatch.setattr(flags, "DEVICE_RESCORE", "1")
+        monkeypatch.setattr(rs, "_DEVICE_RESCORE_FAILED", False)
+
+        def boom(*a, **k):
+            raise RuntimeError("no f64 on this backend")
+
+        import multimodalmusig_tpu.parallel.rescore_device as rdev
+
+        monkeypatch.setattr(rdev, "rescore_mmctm_f64_dev", boom)
+        with pytest.raises(RuntimeError, match="no f64"):
+            rs.rescore_mmctm(
+                result.state.lam, result.state.gamma, model.Xdense,
+                model.config,
+            )
+        assert rs._DEVICE_RESCORE_FAILED is False  # forced mode never latches
+
+    def test_out_of_range_lanes_raise_like_host(self, mmctm_states):
+        """jit gathers clamp/fill out-of-range indices silently; the device
+        path must raise IndexError exactly like the host path's lam[lanes]."""
+        model, result = mmctm_states
+        with pytest.raises(IndexError, match="out of range"):
+            rd.rescore_mmctm_f64_dev(
+                result.state.lam, result.state.gamma, model.Xdense,
+                model.config, lanes=np.array([7]),  # only 5 lanes exist
+            )
+
+    def test_negative_lanes_match_host_semantics(self, mmctm_states):
+        model, result = mmctm_states
+        full = rd.rescore_mmctm_f64_dev(
+            result.state.lam, result.state.gamma, model.Xdense, model.config
+        )
+        neg = rd.rescore_mmctm_f64_dev(
+            result.state.lam, result.state.gamma, model.Xdense, model.config,
+            lanes=np.array([-1, -5]),
+        )
+        np.testing.assert_array_equal(neg, full[[4, 0]])
+
     def test_selection_pick_identical_between_executors(self, mmctm_states,
                                                         monkeypatch):
         """The dense-rank pick and per-modality winners must not depend on
