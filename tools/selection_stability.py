@@ -32,7 +32,7 @@ def compare(R, schedule, X, config, alpha, maxiter, tol):
     from multimodalmusig_tpu.parallel.rescore import (
         pick_optimal_modality_restarts_np,
         pick_optimal_restart_np,
-        rescore_mmctm_f64,
+        rescore_mmctm,
     )
     from multimodalmusig_tpu.parallel.restarts import (
         fit_restarts,
@@ -51,9 +51,11 @@ def compare(R, schedule, X, config, alpha, maxiter, tol):
         ll = np.asarray(jax.device_get(result.ll), np.float64)
         lls[label] = ll
         t_fit = time.perf_counter() - t0
-        # exact f64 host re-scoring of EVERY lane (what selection reads now)
+        # exact f64 re-scoring of EVERY lane via the PRODUCTION executor
+        # dispatch (device-side on TPU since late round 5 — what selection
+        # reads)
         t0 = time.perf_counter()
-        lls64[label] = rescore_mmctm_f64(
+        lls64[label] = rescore_mmctm(
             result.state.lam, result.state.gamma, X, config
         )
         print(f"R={R} {label}: fit {t_fit:.2f}s rescore "
@@ -130,6 +132,7 @@ def compare(R, schedule, X, config, alpha, maxiter, tol):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--record", action="store_true", help="append to BENCH_LOCAL.json")
+    ap.add_argument("--record-key", default="selection_stability_r5")
     ap.add_argument("--skip-r1000", action="store_true")
     args = ap.parse_args()
 
@@ -154,10 +157,10 @@ def main():
                             "BENCH_LOCAL.json")
         with open(path) as f:
             data = json.load(f)
-        data["selection_stability_r5"] = recs
+        data[args.record_key] = recs
         with open(path, "w") as f:
             json.dump(data, f, indent=1)
-        print(f"recorded selection_stability_r5 -> {path}")
+        print(f"recorded {args.record_key} -> {path}")
 
 
 if __name__ == "__main__":
