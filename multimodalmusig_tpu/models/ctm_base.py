@@ -67,6 +67,13 @@ class CTMBaseConfig:
     # tools/lambda_extrap_ab.py; only the fit loops see it (the first
     # iteration has λ_{t-1} = λ_t, so cold starts are unaffected).
     lambda_extrap: Any = None
+    # Newton-direction solver for the λ maximizer: None = the default
+    # ("pcg", batched Jacobi-PCG — ops/solvers.py _cg_solve), "chol" = the
+    # fully unrolled direct Cholesky solve (_chol_solve) — the
+    # fewer-sequential-steps alternative to the PCG dependency chain,
+    # A/B'd on-chip by tools/chol_ab.py. Static (jit cache key). "chol"
+    # bypasses the fused Pallas kernel (which implements PCG only).
+    lambda_solver: Any = None
     # Fused-λ-kernel override: None = auto (MUSIG_PALLAS / backend gate in
     # _use_fused_lambda), True/False = force. Static (part of the jit cache
     # key), so a per-trace decision is explicit rather than ambient — the
@@ -286,7 +293,8 @@ def _use_fused_lambda(force=None) -> bool:
 
 
 def solve_lambda(lam, nu, Ndivzeta, sumtheta, mu, invSigma,
-                 n_iter=None, cg_iter=None, polish_iter=None, force_fused=None):
+                 n_iter=None, cg_iter=None, polish_iter=None, force_fused=None,
+                 solver=None):
     """Batched λ maximization (replaces NLopt at src/MMCTM.jl:127-143).
 
     `n_iter`/`cg_iter`/`polish_iter` override the solver's measured defaults
@@ -301,6 +309,11 @@ def solve_lambda(lam, nu, Ndivzeta, sumtheta, mu, invSigma,
         kw["cg_iter"] = int(cg_iter)
     if polish_iter is not None:
         kw["polish_iter"] = int(polish_iter)
+    if solver is not None and str(solver) != "pcg":
+        # the fused Pallas kernel implements the PCG direction only
+        return maximize_lambda(
+            lam, nu, Ndivzeta, sumtheta, mu, invSigma, solver=str(solver), **kw
+        )
     if _use_fused_lambda(force_fused) and lam.shape[-1] <= 128:
         from ..ops.pallas.lambda_kernel import maximize_lambda_fused
 
@@ -394,7 +407,8 @@ def solve_eta(lam, nu, N, sumtheta, mu, invSigma, config, lam_prev=None):
         c = float(config.lambda_extrap)
         lam0 = lam + jnp.clip(c * (lam - lam_prev), -4.0, 4.0)
     lam2 = solve_lambda(lam0, nu2, Ndivzeta, sumtheta, mu, invSigma,
-                        force_fused=config.force_fused, **kw)
+                        force_fused=config.force_fused,
+                        solver=config.lambda_solver, **kw)
     return zeta, nu2, lam2
 
 

@@ -260,10 +260,71 @@ def _cg_solve(w, g, invSigma, n_iter, unroll=None):
     return x
 
 
-@partial(jax.jit, static_argnames=("n_iter", "cg_iter", "polish_iter", "unroll"))
+# Pivot floor for the unrolled direct Cholesky: H = Σ⁻¹ + diag(w) is SPD by
+# construction (w >= 0), so a non-positive pivot can only arise from f32
+# cancellation at extreme conditioning; flooring it yields a huge-but-finite
+# direction the monotone line search then rejects (fail-safe, like the PCG
+# path's 1e-30 guards), instead of NaN-poisoning the lane.
+_CHOL_PIVOT_FLOOR = 1e-30
+
+
+def _chol_solve(w, g, invSigma):
+    """Direct batched solve of (Σ⁻¹ + diag(w)) δ = g by a fully unrolled
+    Cholesky factorization and two unrolled triangular substitutions.
+
+    The structural alternative to `_cg_solve`: instead of cg_iter sequential
+    Krylov iterations (each a shared-matrix matvec + reductions over MK —
+    the dependency chain NOTES.md round 5 measured as the iteration's
+    binding constraint), this emits one static elementwise DAG over the
+    document batch: every L entry / substitution step is a (B,)-vectorized
+    FMA, there are no reductions over MK at all, and the only inputs that
+    vary per document are w and g (Σ⁻¹ is shared), so XLA fuses the whole
+    solve into a handful of elementwise kernels. Same unrolled-schedule
+    rationale as models/ctm_base.py `_spd_inverse_unrolled` (which beats
+    XLA's batched cho_solve ~8% off the whole CAVI iteration at MK ≤ 20);
+    here the batch is documents (per lane), not lanes. FLOPs per document
+    are ~n³/6 + 2n² multiplies — comparable to PCG at cg_iter = 4 for
+    n = 14 — but the direction is machine-exact (backward-stable Cholesky)
+    rather than a 4-iteration Krylov truncation.
+
+    Like the unrolled Σ⁻¹, this traces O(n³/6) ops per solve, so callers
+    should keep it to mutation-signature-sized MK (the fit loops run it 4×
+    per CAVI iteration); larger problems keep PCG.
+    """
+    n = g.shape[-1]
+    idx = jnp.arange(n)
+    cols = []  # cols[j]: (..., n) column j of L, zeroed above the diagonal
+    for j in range(n):
+        r = invSigma[..., :, j] + jnp.where(idx == j, w[..., j : j + 1], 0.0)
+        for k in range(j):
+            r = r - cols[k] * cols[k][..., j : j + 1]
+        d = jnp.sqrt(jnp.maximum(r[..., j], _CHOL_PIVOT_FLOOR))
+        cols.append(jnp.where(idx >= j, r / d[..., None], 0.0))
+    # forward substitution: L y = g
+    y = []
+    for i in range(n):
+        acc = g[..., i]
+        for k in range(i):
+            acc = acc - cols[k][..., i] * y[k]
+        y.append(acc / cols[i][..., i])
+    # back substitution: Lᵀ δ = y  ((Lᵀ)[i, k] = L[k, i] = cols[i][..., k])
+    x = [None] * n
+    for i in reversed(range(n)):
+        acc = y[i]
+        for k in range(i + 1, n):
+            acc = acc - cols[i][..., k] * x[k]
+        x[i] = acc / cols[i][..., i]
+    return jnp.stack(x, axis=-1)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("n_iter", "cg_iter", "polish_iter", "unroll", "solver"),
+)
 def maximize_lambda(
     lam0, nu, Ndivzeta, sumtheta, mu, invSigma, n_iter: int = 7,
     cg_iter: int = None, polish_iter: int = None, unroll: bool = None,
+    solver: str = "pcg",
 ):
     """Batched λ solve: lam0/nu/Ndivzeta/sumtheta are (B, MK); μ, Σ⁻¹ shared.
 
@@ -297,6 +358,13 @@ def maximize_lambda(
     MK = lam0.shape[-1]
     if cg_iter is None:
         cg_iter = MK if lam0.dtype == jnp.float64 else min(MK, CG_ITER_F32_CAP)
+    if solver not in ("pcg", "chol"):
+        raise ValueError(f"solver must be 'pcg' or 'chol', got {solver!r}")
+
+    def newton_dir(w, g):
+        if solver == "chol":
+            return _chol_solve(w, g, invSigma)
+        return _cg_solve(w, g, invSigma, cg_iter, unroll)
 
     # NOTE: a batch-max-gradient early exit was tried here and removed — under
     # vmap (100 restarts x 560 docs) the while_loop condition lifts to
@@ -316,7 +384,7 @@ def maximize_lambda(
         diff = lam - mu
         Sdiff = _mv(diff, invSigma)
         g = -Sdiff + sumtheta - w
-        delta = _cg_solve(w, g, invSigma, cg_iter, unroll)
+        delta = newton_dir(w, g)
 
         Sdelta = _mv(delta, invSigma)
         q0 = jnp.sum(diff * Sdiff, axis=-1)
@@ -361,7 +429,7 @@ def maximize_lambda(
     def polish(_, lam):
         w = Ndivzeta * jnp.exp(lam + 0.5 * nu)
         g = -_mv(lam - mu, invSigma) + sumtheta - w
-        delta = _cg_solve(w, g, invSigma, cg_iter, unroll)
+        delta = newton_dir(w, g)
         # trust region: scale (never re-direct) oversized deltas — see _POLISH_MAX_STEP
         dmax = jnp.max(jnp.abs(delta), axis=-1, keepdims=True)
         delta = delta * jnp.minimum(1.0, _POLISH_MAX_STEP / jnp.maximum(dmax, 1e-30))

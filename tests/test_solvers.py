@@ -608,3 +608,116 @@ class TestLambdaExtrapWarmStart:
         finally:
             ctm_base.solve_lambda = orig
         np.testing.assert_array_equal(np.asarray(captured["lam0"]), 4.0)
+
+
+class TestCholDirectSolver:
+    """The direct unrolled-Cholesky Newton direction (ops/solvers.py
+    _chol_solve, maximize_lambda solver="chol") — the structural alternative
+    to the PCG chain. Both solvers are machine-exact in f64, so they must
+    agree at the optimum, and the direct solve must match a dense numpy
+    solve of (Σ⁻¹ + diag(w))δ = g entry for entry."""
+
+    def _random_spd(self, rng, mk, cond):
+        q, _ = np.linalg.qr(rng.standard_normal((mk, mk)))
+        eigs = np.logspace(0.0, np.log10(cond), mk)
+        return (q * eigs) @ q.T
+
+    def test_chol_solve_matches_dense_solve(self):
+        rng = np.random.default_rng(7)
+        B, MK = 31, 14
+        invS = self._random_spd(rng, MK, 1e4)
+        w = rng.gamma(1.0, 2.0, (B, MK))
+        g = rng.standard_normal((B, MK))
+        x = np.asarray(
+            solvers._chol_solve(jnp.asarray(w), jnp.asarray(g), jnp.asarray(invS))
+        )
+        xref = np.stack(
+            [np.linalg.solve(invS + np.diag(w[b]), g[b]) for b in range(B)]
+        )
+        np.testing.assert_allclose(x, xref, rtol=1e-9, atol=1e-11)
+
+    def test_chol_solve_batched_invsigma(self):
+        # a leading batch dim on Σ⁻¹ (the vmapped-restart materialized shape)
+        rng = np.random.default_rng(8)
+        B, MK = 5, 6
+        invS = np.stack([self._random_spd(rng, MK, 1e2) for _ in range(B)])
+        w = rng.gamma(1.0, 2.0, (B, MK))
+        g = rng.standard_normal((B, MK))
+        x = np.asarray(
+            solvers._chol_solve(jnp.asarray(w), jnp.asarray(g), jnp.asarray(invS))
+        )
+        xref = np.stack(
+            [np.linalg.solve(invS[b] + np.diag(w[b]), g[b]) for b in range(B)]
+        )
+        np.testing.assert_allclose(x, xref, rtol=1e-9, atol=1e-11)
+
+    def test_same_optimum_as_pcg(self):
+        rng = np.random.default_rng(9)
+        B, MK = 64, 14
+        invS = jnp.asarray(self._random_spd(rng, MK, 1e3))
+        lam0 = jnp.asarray(rng.standard_normal((B, MK)))
+        nu = jnp.asarray(rng.uniform(1e-5, 2.0, (B, MK)))
+        ndz = jnp.asarray(rng.uniform(0.0, 10.0, (B, MK)))
+        st = jnp.asarray(rng.uniform(0.0, 50.0, (B, MK)))
+        mu = jnp.asarray(rng.standard_normal(MK))
+        a = solvers.maximize_lambda(lam0, nu, ndz, st, mu, invS)
+        b = solvers.maximize_lambda(lam0, nu, ndz, st, mu, invS, solver="chol")
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-9)
+
+    def test_f32_ill_conditioned_finite_and_stationary(self):
+        # the round-2 NaN-lane failure class must hold for the direct solve too
+        rng = np.random.default_rng(1_000_000)
+        B, MK = 257, 14
+        invS = jnp.asarray(self._random_spd(rng, MK, 1e6), jnp.float32)
+        lam0 = jnp.asarray(rng.standard_normal((B, MK)) * 3.0, jnp.float32)
+        nu = jnp.asarray(rng.uniform(1e-5, 2.0, (B, MK)), jnp.float32)
+        ndz = jnp.asarray(
+            rng.uniform(0.0, 10.0, (B, MK)) * rng.integers(0, 2, (B, MK)),
+            jnp.float32,
+        )
+        st = jnp.asarray(rng.uniform(0.0, 50.0, (B, MK)), jnp.float32)
+        mu = jnp.asarray(rng.standard_normal(MK), jnp.float32)
+        lam = np.asarray(
+            solvers.maximize_lambda(lam0, nu, ndz, st, mu, invS, solver="chol")
+        )
+        assert np.isfinite(lam).all()
+        g_end = np.asarray(
+            jax.vmap(lambda l, n, z, s: solvers.lambda_grad(l, n, z, s, mu, invS))(
+                jnp.asarray(lam), nu, ndz, st
+            )
+        )
+        g_start = np.asarray(
+            jax.vmap(lambda l, n, z, s: solvers.lambda_grad(l, n, z, s, mu, invS))(
+                lam0, nu, ndz, st
+            )
+        )
+        assert np.abs(g_end).max() < 1e-2 * max(np.abs(g_start).max(), 1.0)
+
+    def test_invalid_solver_raises(self):
+        z = jnp.zeros((2, 3))
+        with pytest.raises(ValueError, match="solver"):
+            solvers.maximize_lambda(z, z, z, z, jnp.zeros(3), jnp.eye(3),
+                                    solver="qr")
+
+    def test_config_threads_solver_through_fit(self):
+        # an f64 fit with lambda_solver="chol" must track the default (both
+        # directions are machine-exact) to tight tolerance on the tiny corpus
+        import dataclasses
+
+        from multimodalmusig_tpu.models.mmctm import MMCTM
+
+        # docs in the reference's sparse (1-based term, count) convention
+        X = [
+            [np.array([[1, 5], [2, 2]]), np.array([[1, 1], [2, 3]])],
+            [np.array([[1, 1], [3, 3]]), np.array([[1, 2]])],
+            [np.array([[2, 4], [3, 1]]), np.array([[2, 2]])],
+            [np.array([[1, 2], [2, 2], [3, 2]]), np.array([[1, 4], [2, 1]])],
+        ]
+        m1 = MMCTM([2, 2], [0.1, 0.1], X, dtype=jnp.float64)
+        m2 = MMCTM([2, 2], [0.1, 0.1], X, dtype=jnp.float64)
+        m2.config = dataclasses.replace(m2.config, lambda_solver="chol")
+        m1.fit(maxiter=25, tol=0.0, verbose=False)
+        m2.fit(maxiter=25, tol=0.0, verbose=False)
+        np.testing.assert_allclose(
+            np.asarray(m1.ll), np.asarray(m2.ll), rtol=1e-8
+        )
