@@ -290,6 +290,17 @@ def _chol_solve(w, g, invSigma):
     Like the unrolled Σ⁻¹, this traces O(n³/6) ops per solve, so callers
     should keep it to mutation-signature-sized MK (the fit loops run it 4×
     per CAVI iteration); larger problems keep PCG.
+
+    MEASURED AND NOT DEFAULT (v5e, tools/chol_ab.py, BENCH_LOCAL
+    chol_ab_r5): at fit level this loses 5.3× to PCG (1.92 s vs 0.36 s on
+    the 100-restart BRCA fit) with equal-quality optima — the same failure
+    mode as the round-5 full-unroll A/B: inside the outer CAVI while_loop,
+    XLA schedules the compact PCG While bodies better than the ~570-op
+    straight-line DAG this traces 4× per iteration (the M-step's unrolled
+    Σ⁻¹ wins because it runs ONCE per iteration over the small lane batch,
+    where dispatch latency, not scheduling, was the bar). Kept opt-in via
+    CTMBaseConfig.lambda_solver = "chol" for machine-exact directions on
+    harsher-than-BRCA conditioning and for future backends.
     """
     n = g.shape[-1]
     idx = jnp.arange(n)
